@@ -1,0 +1,213 @@
+"""Procedural scene builders (host-side, numpy).
+
+The reference ships binary FBX content (pink_room.fbx) we can't parse without
+Assimp, so benchmark/test scenes are built procedurally: the classic Cornell
+box (BASELINE config 1), textured boxes, spheres, and a many-light stress
+scene.  Builders return MeshData lists + material dicts consumed by
+scene.scene.Scene.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class MeshData:
+    """Host mesh: indexed triangles with per-vertex normals/uvs."""
+
+    positions: np.ndarray  # [V,3] float32
+    normals: np.ndarray    # [V,3]
+    uvs: np.ndarray        # [V,2]
+    indices: np.ndarray    # [F,3] int32
+    material: int = 0      # index into the scene's material list
+
+
+@dataclass
+class MaterialDesc:
+    """Host material description (baked into scene.types.MaterialArray)."""
+
+    name: str = "default"
+    base_color: tuple = (0.8, 0.8, 0.8, 1.0)
+    specular: tuple = (0.0, 0.0, 0.0, 0.0)   # spec-gloss: rgb spec, a gloss
+    emissive: tuple = (0.0, 0.0, 0.0)
+    ior: float = 1.5
+    shading_model: int = 2  # SHADING_SPEC_GLOSS
+    double_sided: bool = False
+    alpha_threshold: float = 0.5
+    base_color_image: np.ndarray | None = None  # [h,w,4] float32
+    specular_image: np.ndarray | None = None
+    emissive_image: np.ndarray | None = None
+
+
+def quad(p0, p1, p2, p3, material=0, uv_scale=1.0):
+    """Two-triangle quad p0..p3 (CCW), normal from winding."""
+    p = np.asarray([p0, p1, p2, p3], np.float32)
+    n = np.cross(p[1] - p[0], p[3] - p[0])
+    n = n / (np.linalg.norm(n) + 1e-20)
+    normals = np.tile(n.astype(np.float32), (4, 1))
+    uvs = (np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)) * uv_scale
+    indices = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    return MeshData(p, normals, uvs, indices, material)
+
+
+def box(center, size, material=0):
+    """Axis-aligned box with outward normals."""
+    c = np.asarray(center, np.float32)
+    s = np.asarray(size, np.float32) * 0.5
+    meshes = []
+    # (axis, sign) faces
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            u_axis = (axis + 1) % 3
+            v_axis = (axis + 2) % 3
+            if sign < 0:
+                u_axis, v_axis = v_axis, u_axis
+            o = c.copy()
+            o[axis] += sign * s[axis]
+            u = np.zeros(3, np.float32)
+            v = np.zeros(3, np.float32)
+            u[u_axis] = s[u_axis]
+            v[v_axis] = s[v_axis]
+            meshes.append(quad(o - u - v, o + u - v, o + u + v, o - u + v, material))
+    return merge_meshes(meshes)
+
+
+def icosphere(center, radius, material=0, subdivisions: int = 2):
+    """Subdivided icosahedron with smooth normals."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.asarray(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float32,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.asarray(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int32,
+    )
+    for _ in range(subdivisions):
+        edge_mid: dict = {}
+        new_faces = []
+        vlist = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = vlist[a] + vlist[b]
+                m = m / np.linalg.norm(m)
+                edge_mid[key] = len(vlist)
+                vlist.append(m.astype(np.float32))
+            return edge_mid[key]
+
+        for f in faces:
+            a, b, c = (int(x) for x in f)
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(vlist, np.float32)
+        faces = np.asarray(new_faces, np.int32)
+    pos = verts * radius + np.asarray(center, np.float32)
+    normals = verts.copy()
+    uvs = np.stack(
+        [
+            0.5 + np.arctan2(verts[:, 0], -verts[:, 2]) / (2 * np.pi),
+            np.arccos(np.clip(verts[:, 1], -1, 1)) / np.pi,
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return MeshData(pos, normals, uvs, faces, material)
+
+
+def merge_meshes(meshes: list[MeshData]) -> MeshData:
+    """Concatenate meshes sharing one material (takes the first's)."""
+    off = 0
+    pos, nrm, uv, idx = [], [], [], []
+    for m in meshes:
+        pos.append(m.positions)
+        nrm.append(m.normals)
+        uv.append(m.uvs)
+        idx.append(m.indices + off)
+        off += len(m.positions)
+    return MeshData(
+        np.concatenate(pos),
+        np.concatenate(nrm),
+        np.concatenate(uv),
+        np.concatenate(idx).astype(np.int32),
+        meshes[0].material,
+    )
+
+
+@dataclass
+class BuiltScene:
+    meshes: list = field(default_factory=list)
+    materials: list = field(default_factory=list)
+    lights: list = field(default_factory=list)
+    camera: dict = field(default_factory=dict)
+
+
+def cornell_box(
+    light_intensity=(18.0, 18.0, 18.0),
+    gloss: float = 0.0,
+    with_boxes: bool = True,
+) -> BuiltScene:
+    """Classic Cornell box in [0,1]^3 lit by one point light near the ceiling.
+
+    The reference's analytic-light BDPT supports point/directional emitters
+    only (BDPTUtils.hlsli:140-152), so the classic area panel becomes a point
+    light just below the ceiling.
+    """
+    white = MaterialDesc("white", base_color=(0.73, 0.73, 0.73, 1.0),
+                         specular=(0.0, 0.0, 0.0, 1.0 - gloss))
+    red = MaterialDesc("red", base_color=(0.63, 0.065, 0.05, 1.0))
+    green = MaterialDesc("green", base_color=(0.14, 0.45, 0.091, 1.0))
+    materials = [white, red, green]
+
+    s = BuiltScene(materials=materials)
+    # floor / ceiling / back wall: white (y-up, camera looks down -z... we use
+    # +z into the box from the camera at z<0)
+    s.meshes.append(quad((0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1), 0))      # floor
+    s.meshes.append(quad((0, 1, 0), (0, 1, 1), (1, 1, 1), (1, 1, 0), 0))      # ceiling
+    s.meshes.append(quad((0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1), 0))      # back
+    s.meshes[-1].normals *= -1  # face the camera
+    # left (red, +x normal), right (green, -x normal)
+    s.meshes.append(quad((0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0), 1))
+    s.meshes.append(quad((1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1), 2))
+    if with_boxes:
+        tall = box((0.35, 0.30, 0.65), (0.30, 0.60, 0.30), 0)
+        short = box((0.68, 0.15, 0.35), (0.30, 0.30, 0.30), 0)
+        s.meshes += [tall, short]
+    s.lights = [
+        {"type": "point", "pos": (0.5, 0.93, 0.5), "intensity": light_intensity}
+    ]
+    s.camera = {
+        "pos": (0.5, 0.5, -1.35),
+        "target": (0.5, 0.5, 0.5),
+        "up": (0.0, 1.0, 0.0),
+        "focal_length": 21.0,
+        "aspect": 1.0,
+    }
+    return s
+
+
+def many_light_scene(n_lights: int = 128, seed: int = 0) -> BuiltScene:
+    """Cornell-like room with n point lights (stress for the light table)."""
+    s = cornell_box()
+    rs = np.random.RandomState(seed)
+    s.lights = [
+        {
+            "type": "point",
+            "pos": tuple(rs.uniform([0.1, 0.3, 0.1], [0.9, 0.95, 0.9])),
+            "intensity": tuple(rs.uniform(0.05, 0.6, 3) * 36.0 / n_lights),
+        }
+        for _ in range(n_lights)
+    ]
+    return s

@@ -1,0 +1,236 @@
+"""Host-side scene container and device baking.
+
+The jnp analogue of Falcor's Scene + RtScene + RtSceneRenderer binding walk
+(Graphics/Scene/*, Raytracing/RtScene.cpp, RtSceneRenderer.cpp:40-215): where
+the reference fills descriptor tables and shader records per mesh instance,
+we bake everything — transformed triangle soup, BVH, material table, texture
+atlas, light table, camera — into one SceneData pytree of flat arrays that
+jitted kernels index by id.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel import bvh as bvh_mod
+from ..accel.traverse import TriSoA, bake_triangles, make_intersector
+from ..models.procedural import BuiltScene, MaterialDesc, MeshData
+from . import camera as camera_mod
+from .lights import make_light_array
+from .types import (
+    BVHArrays,
+    GeometryArrays,
+    MaterialArray,
+    SceneData,
+    TextureAtlas,
+)
+
+
+def _resample_image(img: np.ndarray, res: int) -> np.ndarray:
+    """Nearest-resample [h,w,4] -> [res,res,4] (host, numpy)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(res) * h // res).clip(0, h - 1)
+    xs = (np.arange(res) * w // res).clip(0, w - 1)
+    return img[ys][:, xs].astype(np.float32)
+
+
+@dataclass
+class Scene:
+    """Mutable host scene; `bake()` freezes it into device arrays."""
+
+    meshes: list = field(default_factory=list)          # list[MeshData]
+    materials: list = field(default_factory=list)       # list[MaterialDesc]
+    lights: list = field(default_factory=list)          # list[dict]
+    camera: camera_mod.CameraData | None = None
+    env_map: np.ndarray | None = None                   # [h,w,4] or None
+    camera_paths: list = field(default_factory=list)    # list[animation.Path]
+    lighting_scale: float = 1.0
+    camera_speed: float = 1.0
+    name: str = "scene"
+
+    @classmethod
+    def from_built(cls, built: BuiltScene, aspect: float | None = None) -> "Scene":
+        cam_kw = dict(built.camera)
+        if aspect is not None:
+            cam_kw["aspect"] = aspect
+        cam = camera_mod.make_camera(**cam_kw) if cam_kw else None
+        return cls(
+            meshes=list(built.meshes),
+            materials=list(built.materials) or [MaterialDesc()],
+            lights=list(built.lights),
+            camera=cam,
+        )
+
+    # ---- default fixups (SceneLoaderWrapper.cpp:65-102 semantics) ----
+    def apply_default_fixups(self):
+        """Add a default directional light if the scene has none and a
+        bounding-box camera if none was specified."""
+        if not self.lights:
+            self.lights.append(
+                {
+                    "type": "dir",
+                    "dir": (0.13, 0.27, 0.9),
+                    "intensity": (0.9, 0.9, 0.9),
+                }
+            )
+        if self.camera is None:
+            lo, hi = self.bounds()
+            center = (lo + hi) * 0.5
+            radius = float(np.linalg.norm(hi - lo)) * 0.5
+            pos = center + np.asarray([0.0, 0.0, -2.0]) * max(radius, 1e-3)
+            self.camera = camera_mod.make_camera(
+                pos=tuple(pos), target=tuple(center), near_z=max(0.1, 0.1 * radius),
+                far_z=max(1000.0, 10.0 * radius),
+            )
+        return self
+
+    def bounds(self):
+        if not self.meshes:
+            return np.zeros(3, np.float32), np.ones(3, np.float32)
+        lo = np.min([m.positions.min(axis=0) for m in self.meshes], axis=0)
+        hi = np.max([m.positions.max(axis=0) for m in self.meshes], axis=0)
+        return lo.astype(np.float32), hi.astype(np.float32)
+
+    def n_triangles(self) -> int:
+        return int(sum(len(m.indices) for m in self.meshes))
+
+    # -------------------------------------------------------------- bake
+    def bake(
+        self,
+        atlas_res: int = 256,
+        max_lights: int | None = None,
+        leaf_size: int = 4,
+    ) -> "BakedScene":
+        if self.camera is None or not self.lights:
+            self.apply_default_fixups()
+
+        # ---- geometry: flatten all meshes into one soup ----
+        pos, nrm, uv, idx, mat = [], [], [], [], []
+        voff = 0
+        for m in self.meshes:
+            pos.append(np.asarray(m.positions, np.float32))
+            nrm.append(np.asarray(m.normals, np.float32))
+            uv.append(np.asarray(m.uvs, np.float32))
+            idx.append(np.asarray(m.indices, np.int64) + voff)
+            mat.append(np.full(len(m.indices), m.material, np.int32))
+            voff += len(m.positions)
+        positions = np.concatenate(pos) if pos else np.zeros((0, 3), np.float32)
+        normals = np.concatenate(nrm) if nrm else np.zeros((0, 3), np.float32)
+        uvs = np.concatenate(uv) if uv else np.zeros((0, 2), np.float32)
+        indices = np.concatenate(idx) if idx else np.zeros((0, 3), np.int64)
+        material_id = np.concatenate(mat) if mat else np.zeros(0, np.int32)
+
+        geometry = GeometryArrays(
+            positions=jnp.asarray(positions),
+            normals=jnp.asarray(normals),
+            uvs=jnp.asarray(uvs),
+            indices=jnp.asarray(indices.astype(np.int32)),
+            material_id=jnp.asarray(material_id),
+        )
+
+        # ---- BVH ----
+        tree = bvh_mod.build_bvh(positions, indices, leaf_size=leaf_size)
+        bvh = BVHArrays(**{k: jnp.asarray(v) for k, v in tree.items()})
+        order = jnp.asarray(tree["tri_order"]) if len(tree["tri_order"]) else None
+        tris = bake_triangles(geometry, order)
+
+        # ---- texture atlas ----
+        images: list[np.ndarray] = []
+        sizes: list = []
+
+        def add_image(img):
+            if img is None:
+                return -1
+            images.append(_resample_image(np.asarray(img, np.float32), atlas_res))
+            sizes.append((img.shape[1], img.shape[0]))
+            return len(images) - 1
+
+        mats = self.materials or [MaterialDesc()]
+        m_count = len(mats)
+        base_color = np.zeros((m_count, 4), np.float32)
+        specular = np.zeros((m_count, 4), np.float32)
+        emissive = np.zeros((m_count, 3), np.float32)
+        ior = np.full(m_count, 1.5, np.float32)
+        shading_model = np.zeros(m_count, np.int32)
+        double_sided = np.zeros(m_count, bool)
+        alpha_threshold = np.full(m_count, 0.5, np.float32)
+        bc_tex = np.full(m_count, -1, np.int32)
+        sp_tex = np.full(m_count, -1, np.int32)
+        em_tex = np.full(m_count, -1, np.int32)
+        for i, md in enumerate(mats):
+            base_color[i] = md.base_color
+            specular[i] = md.specular
+            emissive[i] = md.emissive
+            ior[i] = md.ior
+            shading_model[i] = md.shading_model
+            double_sided[i] = md.double_sided
+            alpha_threshold[i] = md.alpha_threshold
+            bc_tex[i] = add_image(md.base_color_image)
+            sp_tex[i] = add_image(md.specular_image)
+            em_tex[i] = add_image(md.emissive_image)
+
+        if images:
+            atlas = TextureAtlas(
+                data=jnp.asarray(np.stack(images)),
+                sizes=jnp.asarray(np.asarray(sizes, np.int32)),
+            )
+        else:
+            atlas = TextureAtlas(
+                data=jnp.ones((1, 1, 1, 4), jnp.float32),
+                sizes=jnp.ones((1, 2), jnp.int32),
+            )
+
+        materials = MaterialArray(
+            base_color=jnp.asarray(base_color),
+            specular=jnp.asarray(specular),
+            emissive=jnp.asarray(emissive),
+            ior=jnp.asarray(ior),
+            shading_model=jnp.asarray(shading_model),
+            double_sided=jnp.asarray(double_sided),
+            alpha_threshold=jnp.asarray(alpha_threshold),
+            base_color_tex=jnp.asarray(bc_tex),
+            specular_tex=jnp.asarray(sp_tex),
+            emissive_tex=jnp.asarray(em_tex),
+        )
+
+        lights = make_light_array(
+            [
+                {**l, "intensity": tuple(np.asarray(l["intensity"]) * self.lighting_scale)}
+                for l in self.lights
+            ],
+            capacity=max_lights,
+        )
+
+        env = (
+            jnp.asarray(self.env_map, jnp.float32)
+            if self.env_map is not None
+            else jnp.zeros((1, 1, 4), jnp.float32)
+        )
+
+        data = SceneData(
+            geometry=geometry,
+            bvh=bvh,
+            materials=materials,
+            textures=atlas,
+            lights=lights,
+            camera=self.camera,
+            env_map=env,
+        )
+        return BakedScene(data=data, tris=tris, host=self)
+
+
+@dataclass
+class BakedScene:
+    """SceneData + intersection-ready triangles + an intersector closure."""
+
+    data: SceneData
+    tris: TriSoA
+    host: Scene
+
+    def intersector(self, brute_threshold: int = 512):
+        return make_intersector(self.data.bvh, self.tris, brute_threshold)
+
+    def with_camera(self, cam) -> "BakedScene":
+        return BakedScene(data=self.data.replace(camera=cam), tris=self.tris, host=self.host)

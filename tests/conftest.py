@@ -1,10 +1,11 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set platform env vars before jax is imported anywhere.
+The harness environment pins JAX_PLATFORMS=axon (real TPU); tests must
+force-override to CPU *before* jax initializes a backend.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
