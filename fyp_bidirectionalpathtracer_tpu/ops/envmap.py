@@ -1,0 +1,30 @@
+"""Environment (light-probe) map lookup.
+
+The reference's G-buffer miss shader writes gEnvMap[uint2(uv * res)] — a
+nearest-neighbor lat-long fetch (lightProbeGBuffer.rt.hlsl:64-74).  We expose
+both nearest (parity) and bilinear.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.vecmath import ws_vector_to_latlong
+
+
+def eval_env_nearest(env_map, direction):
+    """env_map [H,W,4], direction [...,3] -> [...,3] rgb."""
+    h, w = env_map.shape[0], env_map.shape[1]
+    u, v = ws_vector_to_latlong(direction)
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return env_map[y, x, :3]
+
+
+def procedural_env(color=(0.517, 0.569, 0.761), res: int = 128):
+    """Sky-blue fallback probe (ResourceManager.cpp:77-111 creates 128^2
+    constant-color env maps when the user picks 'sky blue')."""
+    c = jnp.asarray(color, jnp.float32)
+    img = jnp.broadcast_to(
+        jnp.concatenate([c, jnp.ones(1, jnp.float32)]), (res, res, 4)
+    )
+    return img

@@ -1,0 +1,120 @@
+"""Hit-point shading data preparation.
+
+The jnp analogue of getHitShadingData + simplePrepareShadingData
+(BDPTUtils.hlsli:1-61): interpolate vertex attributes at the hit, sample the
+base-color/specular textures, decode spec-gloss vs metal-rough, clamp
+linearRoughness to 0.08, square it into alpha, flip double-sided backfacing
+normals.  Normal mapping is intentionally skipped, matching the reference's
+secondary-surface path (BDPTUtils.hlsli:40-41).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..accel.traverse import HitRecord, TriSoA
+from ..core.vecmath import dot, normalize
+from ..scene.types import MaterialArray, SHADING_METAL_ROUGH, TextureAtlas
+from .texture import sample_or_constant
+
+
+@struct.dataclass
+class ShadingData:
+    """SoA shading data at hit points (Falcor ShadingData subset)."""
+
+    pos_w: jnp.ndarray        # [...,3]
+    n: jnp.ndarray            # [...,3] shading normal (possibly flipped)
+    v: jnp.ndarray            # [...,3] toward viewer/previous vertex
+    uv: jnp.ndarray           # [...,2]
+    diffuse: jnp.ndarray      # [...,3]
+    specular: jnp.ndarray     # [...,3]
+    linear_roughness: jnp.ndarray  # [...] clamped >= 0.08
+    roughness: jnp.ndarray    # [...] alpha = linear^2
+    emissive: jnp.ndarray     # [...,3]
+    opacity: jnp.ndarray      # [...]
+    ior: jnp.ndarray          # [...]
+    n_dot_v: jnp.ndarray      # [...]
+    material_id: jnp.ndarray  # [...] int32
+
+
+def interpolate_hit(tris: TriSoA, hit: HitRecord, ray_origin, ray_dir):
+    """Geometric attributes at the hit (DXR barycentric convention:
+    P = (1-u-v)*v0 + u*v1 + v*v2).  Position from ray parametric form for
+    stability (matches WorldRayOrigin()+t*WorldRayDirection())."""
+    tri = jnp.maximum(hit.tri, 0)
+    u = hit.bary_u[..., None]
+    v = hit.bary_v[..., None]
+    w = 1.0 - u - v
+    pos = ray_origin + hit.t[..., None] * ray_dir
+    n = normalize(w * tris.n0[tri] + u * tris.n1[tri] + v * tris.n2[tri])
+    uv = w[..., :1] * tris.uv0[tri] + u[..., :1] * tris.uv1[tri] + v[..., :1] * tris.uv2[tri]
+    mat_id = tris.material_id[tri]
+    return pos, n, uv, mat_id
+
+
+def prepare_shading_data(
+    tris: TriSoA,
+    materials: MaterialArray,
+    atlas: TextureAtlas,
+    hit: HitRecord,
+    ray_origin,
+    ray_dir,
+    camera_pos,
+) -> ShadingData:
+    """simplePrepareShadingData (BDPTUtils.hlsli:2-52), vectorized."""
+    pos, n, uv, mat_id = interpolate_hit(tris, hit, ray_origin, ray_dir)
+    m = jnp.maximum(mat_id, 0)
+
+    base_const = materials.base_color[m]
+    base = sample_or_constant(atlas.data, materials.base_color_tex[m], uv, base_const)
+    opacity = base_const[..., 3]  # sd.opacity = m.baseColor.a (BDPTUtils:10)
+
+    spec_const = materials.specular[m]
+    spec = sample_or_constant(atlas.data, materials.specular_tex[m], uv, spec_const)
+
+    metal_rough = materials.shading_model[m] == SHADING_METAL_ROUGH
+    # metal-rough: diffuse = lerp(base, 0, metalness=spec.b),
+    #              specular = lerp(0.04, base, spec.b), linearRough = spec.g
+    metal = spec[..., 2:3]
+    dif_mr = base[..., :3] * (1.0 - metal)
+    spec_mr = 0.04 * (1.0 - metal) + base[..., :3] * metal
+    lr_mr = spec[..., 1]
+    # spec-gloss: diffuse = base.rgb, specular = spec.rgb, linearRough = 1-gloss
+    dif_sg = base[..., :3]
+    spec_sg = spec[..., :3]
+    lr_sg = 1.0 - spec[..., 3]
+
+    mr = metal_rough[..., None]
+    diffuse = jnp.where(mr, dif_mr, dif_sg)
+    specular = jnp.where(mr, spec_mr, spec_sg)
+    linear_rough = jnp.where(metal_rough, lr_mr, lr_sg)
+    linear_rough = jnp.maximum(0.08, linear_rough)
+    rough = linear_rough * linear_rough
+
+    em_const = jnp.concatenate(
+        [materials.emissive[m], jnp.ones(materials.emissive[m].shape[:-1] + (1,))],
+        axis=-1,
+    )
+    emissive = sample_or_constant(atlas.data, materials.emissive_tex[m], uv, em_const)[..., :3]
+
+    v = normalize(camera_pos - pos)
+    n_dot_v = dot(n, v)
+    flip = (n_dot_v <= 0) & materials.double_sided[m]
+    n = jnp.where(flip[..., None], -n, n)
+    n_dot_v = jnp.where(flip, -n_dot_v, n_dot_v)
+
+    return ShadingData(
+        pos_w=pos,
+        n=n,
+        v=v,
+        uv=uv,
+        diffuse=diffuse,
+        specular=specular,
+        linear_roughness=linear_rough,
+        roughness=rough,
+        emissive=emissive,
+        opacity=opacity,
+        ior=materials.ior[m],
+        n_dot_v=n_dot_v,
+        material_id=mat_id,
+    )

@@ -1,0 +1,49 @@
+"""Texture atlas sampling (gather-based).
+
+The reference samples per-material Texture2Ds through the shader table
+(Shading.slang sampleTexture); here every texture lives in one stacked atlas
+[T, R, R, 4] and lookups are (slot, uv) gathers, so rays with different
+materials stay in one warp-free vector op.
+
+Semantics: wrap addressing, bilinear filter (the scene loader binds a linear
+wrap sampler, SceneLoaderWrapper.cpp:65-68); slot < 0 falls back to the
+constant factor, matching Falcor's ChannelType dispatch.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sample_atlas_bilinear(atlas_data, slot, uv):
+    """Bilinear-sample atlas[slot] at uv (wrap). slot [...], uv [...,2].
+
+    Returns [...,4].  Negative slots are clamped to 0 for the gather; the
+    caller selects the constant fallback.
+    """
+    t, res = atlas_data.shape[0], atlas_data.shape[1]
+    s = jnp.clip(slot, 0, t - 1)
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * res - 0.5
+    y = v * res - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), res)
+    y0i = jnp.mod(y0.astype(jnp.int32), res)
+    x1i = jnp.mod(x0i + 1, res)
+    y1i = jnp.mod(y0i + 1, res)
+    c00 = atlas_data[s, y0i, x0i]
+    c10 = atlas_data[s, y0i, x1i]
+    c01 = atlas_data[s, y1i, x0i]
+    c11 = atlas_data[s, y1i, x1i]
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_or_constant(atlas_data, slot, uv, constant):
+    """Texture if slot >= 0 else the constant factor ([...,4] both ways)."""
+    tex = sample_atlas_bilinear(atlas_data, slot, uv)
+    return jnp.where((slot >= 0)[..., None], tex, constant)
