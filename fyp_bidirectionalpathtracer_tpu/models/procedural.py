@@ -172,15 +172,14 @@ def cornell_box(
     materials = [white, red, green]
 
     s = BuiltScene(materials=materials)
-    # floor / ceiling / back wall: white (y-up, camera looks down -z... we use
-    # +z into the box from the camera at z<0)
-    s.meshes.append(quad((0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1), 0))      # floor
-    s.meshes.append(quad((0, 1, 0), (0, 1, 1), (1, 1, 1), (1, 1, 0), 0))      # ceiling
-    s.meshes.append(quad((0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1), 0))      # back
-    s.meshes[-1].normals *= -1  # face the camera
-    # left (red, +x normal), right (green, -x normal)
-    s.meshes.append(quad((0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0), 1))
-    s.meshes.append(quad((1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1), 2))
+    # The box interior is in [0,1]^3 with the camera outside at z<0; all wall
+    # windings face INTO the box so backface-culled primary rays see them
+    # (quad normal = cross(p1-p0, p3-p0)).
+    s.meshes.append(quad((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 0, 0), 0))  # floor +y
+    s.meshes.append(quad((0, 1, 0), (1, 1, 0), (1, 1, 1), (0, 1, 1), 0))  # ceiling -y
+    s.meshes.append(quad((0, 0, 1), (0, 1, 1), (1, 1, 1), (1, 0, 1), 0))  # back -z
+    s.meshes.append(quad((0, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 1), 1))  # left +x red
+    s.meshes.append(quad((1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0), 2))  # right -x green
     if with_boxes:
         tall = box((0.35, 0.30, 0.65), (0.30, 0.60, 0.30), 0)
         short = box((0.68, 0.15, 0.35), (0.30, 0.30, 0.30), 0)

@@ -1,0 +1,406 @@
+"""Bidirectional path tracer pass — wavefront re-design of the reference's
+DXR raygen megakernel (BDPTMain.rt.hlsl:42-234).
+
+Structure (one whole-image wavefront per step instead of one GPU thread per
+pixel):
+  1. camera subpath: vertex 0 = pinhole camera, vertex 1 from the G-buffer,
+     vertices 2..maxDepth by a statically-unrolled extension loop where each
+     step intersects the full ray wavefront and samples the BRDF (masked by
+     per-lane termination) — the lax-friendly form of the per-pixel
+     `shootRay` loop (BDPTMain.rt.hlsl:106-112).
+  2. light subpath: one light sample per pixel (uniform light pick, cosine
+     lobe around the light direction / unit-sphere sample), extended the same
+     way (:122-145).
+  3. estimator family 1 — path tracing with NEE at every camera vertex,
+     clamped, /(i+2) weighting (:161-167).
+  4. estimator family 2 — light tracing: every light vertex connected to the
+     camera; contributions land on *computed* pixels.  The reference's racy
+     non-atomic RMW splat (gOutput[id], :199) becomes a deterministic
+     scatter-add + one saturate.
+  5. estimator family 3 — all (s,t) vertex connections with visibility rays,
+     unweighted contribution / pathLength, sequential saturate-accumulate
+     (:212-233).
+
+Reference quirks (stale miss vertices, the aL index bug, by-value RNG seeds)
+are reproduced under config flags — see utils.config.BDPTConfig.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import rng
+from ..core.samplers import cos_hemisphere_sample, unit_sphere_sample
+from ..core.vecmath import dot, normalize, saturate
+from ..ops import materials as mat
+from ..ops.shading import prepare_shading_data
+from ..scene.camera import project_dir_to_pixel
+from ..scene.lights import eval_light
+from ..scene.types import LIGHT_DIRECTIONAL
+from ..utils.config import BDPTConfig
+
+
+@struct.dataclass
+class PathVertex:
+    """PathVertex SoA over the pixel grid (RayPathData.hlsli:1-45)."""
+
+    color: jnp.ndarray     # [...,3] throughput
+    pos: jnp.ndarray       # [...,3]
+    n: jnp.ndarray         # [...,3]
+    v: jnp.ndarray         # [...,3]
+    dif: jnp.ndarray       # [...,3]
+    spec: jnp.ndarray      # [...,3]
+    rough: jnp.ndarray     # [...]
+    is_spec: jnp.ndarray   # [...] bool
+    pdf_fwd: jnp.ndarray   # [...]
+
+    @classmethod
+    def zeros(cls, shape):
+        z3 = jnp.zeros(shape + (3,), jnp.float32)
+        z = jnp.zeros(shape, jnp.float32)
+        return cls(color=z3, pos=z3, n=z3, v=z3, dif=z3, spec=z3,
+                   rough=z, is_spec=jnp.zeros(shape, bool), pdf_fwd=z)
+
+    def where(self, mask, other: "PathVertex") -> "PathVertex":
+        m3 = mask[..., None]
+        pick3 = lambda a, b: jnp.where(m3, a, b)  # noqa: E731
+        pick = lambda a, b: jnp.where(mask, a, b)  # noqa: E731
+        return PathVertex(
+            color=pick3(self.color, other.color), pos=pick3(self.pos, other.pos),
+            n=pick3(self.n, other.n), v=pick3(self.v, other.v),
+            dif=pick3(self.dif, other.dif), spec=pick3(self.spec, other.spec),
+            rough=pick(self.rough, other.rough),
+            is_spec=pick(self.is_spec, other.is_spec),
+            pdf_fwd=pick(self.pdf_fwd, other.pdf_fwd),
+        )
+
+
+@struct.dataclass
+class Payload:
+    """RayPayload SoA (RayPathData.hlsli:48-86)."""
+
+    color: jnp.ndarray
+    seed: jnp.ndarray
+    pos: jnp.ndarray
+    n: jnp.ndarray
+    v: jnp.ndarray
+    dif: jnp.ndarray
+    spec: jnp.ndarray
+    rough: jnp.ndarray
+    is_spec: jnp.ndarray
+    pdf_fwd: jnp.ndarray
+    ray_origin: jnp.ndarray
+    ray_dir: jnp.ndarray
+    terminated: jnp.ndarray
+
+    def vertex(self) -> PathVertex:
+        return PathVertex(color=self.color, pos=self.pos, n=self.n, v=self.v,
+                          dif=self.dif, spec=self.spec, rough=self.rough,
+                          is_spec=self.is_spec, pdf_fwd=self.pdf_fwd)
+
+
+def init_payload(origin, direction, color, seed):
+    z3 = jnp.zeros_like(origin)
+    z = jnp.zeros(origin.shape[:-1], jnp.float32)
+    return Payload(
+        color=color, seed=seed, pos=origin, n=z3, v=z3, dif=z3, spec=z3,
+        rough=z, is_spec=jnp.zeros(z.shape, bool), pdf_fwd=z,
+        ray_origin=origin, ray_dir=direction,
+        terminated=jnp.zeros(z.shape, bool),
+    )
+
+
+def _nan_guard(c):
+    """any(isnan(c)) per lane -> zero the contribution (BDPTMain:165)."""
+    bad = jnp.any(jnp.isnan(c), axis=-1, keepdims=True)
+    return jnp.where(bad, 0.0, c)
+
+
+def shoot_ray(payload: Payload, baked, intersect, cfg: BDPTConfig) -> Payload:
+    """One extension step for active lanes (globalIlluminationRay.hlsli).
+
+    miss -> color=0, terminated=True, geometry kept stale (reference quirk);
+    hit  -> shading data + sampleBRDF + updateRayData.
+    """
+    active = ~payload.terminated
+    hit = intersect(payload.ray_origin, payload.ray_dir, cfg.min_t, closest=True)
+    sd = prepare_shading_data(
+        baked.tris, baked.data.materials, baked.data.textures,
+        hit, payload.ray_origin, payload.ray_dir, payload.ray_origin,
+    )
+    seed2, weight, l, pdf, is_spec = mat.sample_brdf(
+        payload.seed, sd.n, sd.n, sd.v, sd.diffuse, sd.specular, sd.roughness,
+        cfg.mat_model,
+    )
+    got_hit = active & hit.hit
+    missed = active & ~hit.hit
+    m3 = got_hit[..., None]
+    new_seed = payload.seed if cfg.faithful_rng else jnp.where(got_hit, seed2, payload.seed)
+    return Payload(
+        color=jnp.where(m3, payload.color * weight,
+                        jnp.where(missed[..., None], 0.0, payload.color)),
+        seed=new_seed,
+        pos=jnp.where(m3, sd.pos_w, payload.pos),
+        n=jnp.where(m3, sd.n, payload.n),
+        v=jnp.where(m3, sd.v, payload.v),
+        dif=jnp.where(m3, sd.diffuse, payload.dif),
+        spec=jnp.where(m3, sd.specular, payload.spec),
+        rough=jnp.where(got_hit, sd.roughness, payload.rough),
+        is_spec=jnp.where(got_hit, is_spec, payload.is_spec),
+        pdf_fwd=jnp.where(got_hit, pdf, payload.pdf_fwd),
+        ray_origin=jnp.where(m3, sd.pos_w, payload.ray_origin),
+        ray_dir=jnp.where(m3, l, payload.ray_dir),
+        terminated=payload.terminated | missed,
+    )
+
+
+def sample_light(seed, lights):
+    """sampleLight (BDPTUtils.hlsli:140-152): uniform pick; direction is a
+    cosine lobe around dirW (directional) or an un-normalized ball sample
+    (point — reference quirk kept)."""
+    seed, idx = mat.pick_light(seed, lights.count)
+    origin = lights.pos_w[idx]
+    intensity = lights.intensity[idx]
+    is_dir = lights.type[idx] == LIGHT_DIRECTIONAL
+    seed_s, p = unit_sphere_sample(seed)
+    # directional lanes consume no sphere draws (their HLSL skips the loop)
+    seed = jnp.where(is_dir, seed, seed_s)
+    axis = jnp.where(is_dir[..., None], lights.dir_w[idx], p)
+    seed, direction = cos_hemisphere_sample(seed, axis)
+    return seed, origin, direction, intensity
+
+
+def _eval_g_without_v(a: PathVertex, b: PathVertex):
+    """evalGWithoutV (BDPTUtils.hlsli:172-184)."""
+    vec = b.pos - a.pos
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(dot(vec, vec), 1e-30))
+    d = vec * inv_len[..., None]
+    return jnp.abs(dot(a.n, d)) * jnp.abs(dot(b.n, d)) * inv_len * inv_len
+
+
+def _unweighted_contribution(camera_path, light_path, s, t, g, cfg: BDPTConfig):
+    """getUnweightedContribution (BDPTUtils.hlsli:186-224) for static s,t>=1.
+
+    reference_quirks keeps aL = lightPath[s-1].color (the shipped index bug);
+    corrected mode uses lightPath[t-1].
+    """
+    cam_end = camera_path[s]
+    light_end = light_path[t]
+    a_e = camera_path[s - 1].color
+    a_l = light_path[s - 1].color if cfg.reference_quirks else light_path[t - 1].color
+    connect_dir = normalize(cam_end.pos - light_end.pos)
+
+    wo_l = normalize(light_path[t - 1].pos - light_end.pos)
+    fs_l = mat.eval_brdf(connect_dir, wo_l, light_end.n, light_end.n,
+                         light_end.dif, light_end.spec, light_end.rough,
+                         light_end.is_spec, cfg.mat_model)
+    wo_e = normalize(camera_path[s - 1].pos - cam_end.pos)
+    fs_e = mat.eval_brdf(-connect_dir, wo_e, cam_end.n, cam_end.n,
+                         cam_end.dif, cam_end.spec, cam_end.rough,
+                         cam_end.is_spec, cfg.mat_model)
+    return a_l * (fs_l * g[..., None] * fs_e) * a_e
+
+
+def _connection_weight(camera_path, light_path, s, t, cfg: BDPTConfig, total_len):
+    """Path weighting for estimator 3.
+
+    'uniform': the shipped 1/totalLength (BDPTMain.rt.hlsl:228).
+    'power'/'balance': corrected MIS over all splits of the same length —
+    the intent of the dead getWeightPower/getWeightLinear code
+    (BDPTUtils.hlsli:226-278, with its comma-operator bug fixed).
+    """
+    if cfg.connection_weight == "uniform":
+        return 1.0 / float(total_len)
+    power = 2 if cfg.connection_weight == "power" else 1
+
+    def subpath_pdf(path, k):
+        p = path[0].pdf_fwd
+        for x in range(1, k + 1):
+            p = p * path[x].pdf_fwd * _eval_g_without_v(path[x - 1], path[x])
+        return p
+
+    total = 0.0
+    current = None
+    for i in range(0, total_len + 1):
+        j = total_len - i
+        if i >= len(camera_path) or j >= len(light_path):
+            continue
+        p_e = subpath_pdf(camera_path, i)
+        p_l = subpath_pdf(light_path, j)
+        term = (p_e * p_l) ** power
+        total = total + term
+        if i == s and j == t:
+            current = term
+    if current is None:
+        return 0.0
+    return jnp.where(total > 0, current / jnp.maximum(total, 1e-30), 0.0)
+
+
+def bdpt_pass(
+    baked,
+    intersect,
+    channels: dict,
+    frame_count,
+    pixel_jitter,
+    cfg: BDPTConfig,
+):
+    """Full BDPT estimator; returns the per-frame radiance image [H,W,4].
+
+    Mirrors SimpleDiffuseGIRayGen (BDPTMain.rt.hlsl:42-234); the output
+    starts from a cleared texture (BDPTPass.cpp:74).
+    """
+    cam = baked.data.camera
+    lights = baked.data.lights
+    pos4 = channels["WorldPosition"]
+    norm4 = channels["WorldNormal"]
+    dif4 = channels["MaterialDiffuse"]
+    spec4 = channels["MaterialSpecRough"]
+    emis4 = channels["Emissive"]
+    height, width = pos4.shape[0], pos4.shape[1]
+    shape = (height, width)
+
+    def shadow_fn(o, d, tmin, tmax):
+        return ~intersect(o, d, tmin, tmax, closest=False).hit
+
+    valid = pos4[..., 3] != 0.0
+    world_pos = pos4[..., :3]
+    world_norm = norm4[..., :3]
+    dif = dif4[..., :3]
+    spec = spec4[..., :3]
+    rough = spec4[..., 3] * spec4[..., 3]
+    v = normalize(cam.pos_w - world_pos)
+
+    seed = rng.pixel_seeds(width, height, frame_count)
+
+    # ---------------- camera subpath ----------------
+    d_max = cfg.max_depth
+    n_verts = cfg.max_possible_depth + 1
+    zeros_vert = PathVertex.zeros(shape)
+    camera_path = [zeros_vert] * n_verts
+
+    cam_v0 = PathVertex.zeros(shape)
+    cam_v0 = cam_v0.replace(
+        pos=jnp.broadcast_to(cam.pos_w, shape + (3,)),
+        n=jnp.broadcast_to(normalize(cam.camera_w), shape + (3,)),
+        color=jnp.ones(shape + (3,), jnp.float32),
+        pdf_fwd=jnp.ones(shape, jnp.float32),
+    )
+    camera_path[0] = cam_v0
+
+    seed2, hit_thp, out_dir, pdf1, is_spec1 = mat.sample_brdf(
+        seed, world_norm, world_norm, v, dif, spec, rough, cfg.mat_model
+    )
+    if not cfg.faithful_rng:
+        seed = seed2
+    camera_path[1] = PathVertex(
+        color=hit_thp, pos=world_pos, n=world_norm, v=v, dif=dif, spec=spec,
+        rough=rough, is_spec=is_spec1, pdf_fwd=pdf1,
+    ).where(valid, zeros_vert)
+
+    payload = init_payload(world_pos, out_dir, hit_thp, seed)
+    payload = payload.replace(terminated=~valid)  # background lanes inert
+    for depth in range(1, d_max):
+        was_active = ~payload.terminated
+        payload = shoot_ray(payload, baked, intersect, cfg)
+        camera_path[depth + 1] = payload.vertex().where(was_active, zeros_vert)
+    seed = payload.seed
+
+    # ---------------- light subpath ----------------
+    seed, l_origin, l_dir, l_intensity = sample_light(seed, lights)
+    light_path = [zeros_vert] * n_verts
+    light_path[0] = PathVertex.zeros(shape).replace(
+        pos=l_origin, color=l_intensity,
+        pdf_fwd=jnp.full(shape, 1.0, jnp.float32) / lights.count.astype(jnp.float32),
+    )
+    take = [jnp.ones(shape, bool)] * n_verts
+    lpayload = init_payload(l_origin, l_dir, l_intensity, seed)
+    lpayload = lpayload.replace(terminated=~valid)
+    for depth in range(0, d_max):
+        was_active = ~lpayload.terminated
+        lpayload = shoot_ray(lpayload, baked, intersect, cfg)
+        light_path[depth + 1] = lpayload.vertex().where(was_active, zeros_vert)
+        take[depth + 1] = jnp.where(was_active, ~lpayload.terminated, take[depth + 1])
+    seed = lpayload.seed
+
+    # ---------------- accumulate ----------------
+    out = jnp.zeros(shape + (4,), jnp.float32)
+
+    # background early-out (BDPTMain:62-66): env color, alpha 1, no estimators
+    bg = jnp.concatenate([dif, jnp.ones(shape + (1,), jnp.float32)], -1)
+
+    # emissive pixels (BDPTMain:155-158)
+    has_emissive = jnp.any(emis4[..., :3] > 0.0, axis=-1)
+    out = out + jnp.where((valid & has_emissive)[..., None], emis4, 0.0)
+
+    # --- estimator 1: path tracing with NEE ---
+    for i in range(d_max):
+        seed, direct = mat.eval_direct(
+            seed, shadow_fn, lights, cfg.min_t,
+            camera_path[i + 1].pos, camera_path[i + 1].n, camera_path[i + 1].v,
+            camera_path[i + 1].dif, camera_path[i + 1].spec,
+            camera_path[i + 1].rough, cfg.mat_model,
+        )
+        shade = camera_path[i].color * direct
+        shade = mat.clamp_vec(shade / (i + 2), cfg.clamp_upper)
+        shade = _nan_guard(shade)
+        add = jnp.concatenate([shade, jnp.ones(shape + (1,), jnp.float32)], -1)
+        out = out + jnp.where(valid[..., None], add, 0.0)
+
+    # --- estimator 3: s,t connections (own pixel, sequential saturate) ---
+    for total_len in range(2, d_max + 1):
+        for s in range(1, d_max):
+            t = total_len - s
+            if t < 0 or t > cfg.max_possible_depth:
+                continue  # uint-underflow UB in the reference; mask out
+            g = _eval_g_without_v(camera_path[s], light_path[t])
+            vec = light_path[t].pos - camera_path[s].pos
+            length_ab = jnp.sqrt(jnp.maximum(dot(vec, vec), 1e-30))
+            dir_ab = vec / length_ab[..., None]
+            vis = shadow_fn(camera_path[s].pos, dir_ab, cfg.min_t, length_ab)
+            if t >= 1:
+                shade = _unweighted_contribution(camera_path, light_path, s, t, g, cfg)
+                w = _connection_weight(camera_path, light_path, s, t, cfg, total_len)
+                shade = mat.clamp_vec(shade * w, cfg.clamp_upper)
+                shade = _nan_guard(shade)
+            else:
+                shade = jnp.zeros(shape + (3,), jnp.float32)
+            add = jnp.concatenate([shade, jnp.ones(shape + (1,), jnp.float32)], -1)
+            mask = (valid & vis)[..., None]
+            out = jnp.where(mask, saturate(out + add), out)
+
+    # --- estimator 2: light tracing splats (deterministic scatter-add) ---
+    splat = jnp.zeros((height * width, 4), jnp.float32)
+    camera_n = normalize(cam.camera_w)
+    take_cum = jnp.ones(shape, bool)
+    for i in range(d_max):
+        take_cum = take_cum & take[i + 1]
+        last = light_path[i + 1]
+        to_cam = cam.pos_w - last.pos
+        dis = jnp.sqrt(jnp.maximum(dot(to_cam, to_cam), 1e-30))
+        dir_to_cam = to_cam / dis[..., None]
+        facing = dot(camera_n, dir_to_cam) < 0.0
+        active = valid & take_cum & facing
+        vis = shadow_fn(last.pos, dir_to_cam, cfg.min_t, dis)
+        active = active & vis
+        ix, iy = project_dir_to_pixel(cam, dir_to_cam, (width, height), pixel_jitter)
+        theta1 = saturate(jnp.abs(dot(dir_to_cam, camera_n)))
+        theta2 = saturate(jnp.abs(dot(dir_to_cam, last.n)))
+        g = theta1 * theta2 / (dis * dis)
+        brdf = mat.eval_brdf(last.v, normalize(cam.pos_w - last.pos), last.n,
+                             last.n, last.dif, last.spec, last.rough,
+                             last.is_spec, cfg.mat_model)
+        shade = light_path[i].color * brdf * g[..., None]
+        shade = mat.clamp_vec(shade / (i + 2), cfg.clamp_upper)
+        shade = _nan_guard(shade)
+        in_range = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+        ok = active & in_range
+        lin = jnp.where(ok, iy * width + ix, height * width)  # OOB -> dropped
+        add = jnp.concatenate([shade, jnp.ones(shape + (1,), jnp.float32)], -1)
+        add = jnp.where(ok[..., None], add, 0.0)
+        splat = splat.at[lin.reshape(-1)].add(add.reshape(-1, 4), mode="drop")
+    splat = splat.reshape(shape + (4,))
+    # background pixels wrote (env, 1) before any splats landed (BDPTMain:64);
+    # splats then add on top of whatever the target pixel holds.
+    result = jnp.where(valid[..., None], out, bg)
+    got_splat = jnp.any(splat != 0.0, axis=-1, keepdims=True)
+    return jnp.where(got_splat, saturate(result + splat), result)

@@ -1,0 +1,467 @@
+"""BMFR denoiser — Blockwise Multi-Order Feature Regression.
+
+Rebuild of the reference's 3-stage DenoisePass
+(Passes/DenoisePass.cpp:148-279):
+
+  1. preprocess  (preprocess.ps.hlsl): temporal reprojection through
+     prevViewProj, 2x2 bilinear tap acceptance by world-position (<0.01) and
+     normal (<1.0) distance, exponential blend alpha = max(1/(spp+1), 0.2),
+     spp carried in alpha.
+  2. regression  (regressionCP.hlsl): per 32x32 block, 13-column feature
+     matrix [1, n, p, p^2, rgb/albedo], min/max feature normalization,
+     Householder QR + back-substitution for 3 color channels.  Two variants
+     like the reference: IGNORE_LD_fEATURES (rank-deficient column skipping,
+     the default) and add-noise regularization.  The reference runs one
+     256-thread group per block with groupshared reductions; here every block
+     is one batch element of dense [B, 1024, 13] math — MXU/VPU-regular, no
+     shared-memory choreography.
+  3. postprocess (postprocess.ps.hlsl): second temporal accumulation of the
+     filtered frame, alpha = max(1/spp, 0.1).
+
+The reference denoises only the left half of the screen for A/B comparison
+(texC.x > 0.5 early-outs, preprocess:38/postprocess:25, and the halved
+horizontal block count, DenoisePass.cpp:262-268); `half_screen_debug`
+reproduces that.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..utils.config import BMFRConfig
+
+BLOCK_EDGE = 32
+BLOCK_PIXELS = 1024
+FEATURES = 10
+BUFFERS = 13
+FEATURES_NOT_SCALED = 4
+
+# regressionCP.hlsl:40-58
+BLOCK_OFFSETS = jnp.asarray(
+    [
+        [-30, -30], [-12, -22], [-24, -2], [-8, -16], [-26, -24], [-14, -4],
+        [-4, -28], [-26, -16], [-4, -2], [-24, -32], [-10, -10], [-18, -18],
+        [-12, -30], [-32, -4], [-2, -20], [-22, -12],
+    ],
+    dtype=jnp.int32,
+)
+
+
+@struct.dataclass
+class BMFRState:
+    """History textures (DenoisePass.h mInputTex) + accumulation counter."""
+
+    prev_pos: jnp.ndarray       # [H,W,4]
+    prev_norm: jnp.ndarray      # [H,W,4]
+    prev_noisy: jnp.ndarray     # [H,W,4]
+    prev_filtered: jnp.ndarray  # [H,W,4]
+    frame_number: jnp.ndarray   # [] int32 (mAccumCount)
+
+    @classmethod
+    def create(cls, height: int, width: int):
+        z = jnp.zeros((height, width, 4), jnp.float32)
+        return cls(prev_pos=z, prev_norm=z, prev_noisy=z, prev_filtered=z,
+                   frame_number=jnp.zeros((), jnp.int32))
+
+
+def _mirror(idx, size):
+    """mirror addressing (regressionCP.hlsl:60-68)."""
+    idx = jnp.where(idx < 0, jnp.abs(idx) - 1, idx)
+    idx = jnp.where(idx >= size, 2 * size - idx - 1, idx)
+    return idx
+
+
+def _hash_random(a):
+    """random() (regressionCP.hlsl:78-87): integer hash -> [0,1) float."""
+    a = a.astype(jnp.uint32)
+    a = (a + jnp.uint32(0x7ED55D16)) + (a << 12)
+    a = (a ^ jnp.uint32(0xC761C23C)) ^ (a >> 19)
+    a = (a + jnp.uint32(0x165667B1)) + (a << 5)
+    a = (a + jnp.uint32(0xD3A2646C)) ^ (a << 9)
+    a = (a + jnp.uint32(0xFD7046C5)) + (a << 3)
+    a = (a ^ jnp.uint32(0xB55A4F09)) ^ (a >> 16)
+    return a.astype(jnp.float32) / jnp.float32(4294967296.0)
+
+
+# ------------------------------------------------------------- preprocess
+def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
+               cfg: BMFRConfig):
+    """Temporal reprojection + first blend (preprocess.ps.hlsl).
+
+    Returns (blended_noisy [H,W,4] with spp in alpha, accept_bits [H,W] int32,
+    prev_pixel_f [H,W,2]).
+    """
+    h, w = cur_noisy.shape[0], cur_noisy.shape[1]
+    wp = cur_pos[..., :3]
+    nrm = cur_norm[..., :3]
+    color = cur_noisy[..., :3]
+
+    # project world pos through prevViewProj (column-vector convention)
+    hom = jnp.concatenate([wp, jnp.ones(wp.shape[:-1] + (1,), jnp.float32)], -1)
+    clip = jnp.einsum(
+        "ij,hwj->hwi", prev_view_proj, hom,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    clip = clip / clip[..., 3:4]
+    uvx = (clip[..., 0] + 1.0) * 0.5
+    uvy = (1.0 - clip[..., 1]) * 0.5
+    in_screen = (uvx >= 0.0) & (uvx <= 1.0) & (uvy >= 0.0) & (uvy <= 1.0)
+
+    pixel_f = jnp.stack([uvx * w, uvy * h], -1) - 0.5  # PIXEL_OFFSET
+    base = jnp.floor(pixel_f).astype(jnp.int32)
+    frac = pixel_f - jnp.floor(pixel_f)
+    omf = 1.0 - frac
+    weights = [
+        omf[..., 0] * omf[..., 1],
+        frac[..., 0] * omf[..., 1],
+        omf[..., 0] * frac[..., 1],
+        frac[..., 0] * frac[..., 1],
+    ]
+    offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
+
+    prev_color = jnp.zeros_like(color)
+    sample_spp = jnp.zeros((h, w), jnp.float32)
+    total_weight = jnp.zeros((h, w), jnp.float32)
+    accept = jnp.zeros((h, w), jnp.int32)
+    for i, (dx, dy) in enumerate(offsets):
+        sx = base[..., 0] + dx
+        sy = base[..., 1] + dy
+        valid = (sx >= 0) & (sy >= 0) & (sx < w) & (sy < h)
+        cx = jnp.clip(sx, 0, w - 1)
+        cy = jnp.clip(sy, 0, h - 1)
+        p_pos = state.prev_pos[cy, cx, :3]
+        pos_ok = jnp.sum((p_pos - wp) ** 2, -1) < cfg.position_limit_sq
+        p_n = state.prev_norm[cy, cx, :3]
+        nrm_ok = jnp.sum((p_n - nrm) ** 2, -1) < cfg.normal_limit_sq
+        ok = valid & pos_ok & nrm_ok
+        accept = accept | jnp.where(ok, 1 << i, 0)
+        wgt = jnp.where(ok, weights[i], 0.0)
+        prev_data = state.prev_noisy[cy, cx]
+        prev_color = prev_color + wgt[..., None] * prev_data[..., :3]
+        sample_spp = sample_spp + wgt * prev_data[..., 3]
+        total_weight = total_weight + wgt
+
+    has_prev = total_weight > 0.0
+    prev_color = jnp.where(
+        has_prev[..., None], prev_color / jnp.maximum(total_weight, 1e-20)[..., None], 0.0
+    )
+    sample_spp = jnp.where(has_prev, sample_spp / jnp.maximum(total_weight, 1e-20), 0.0)
+    blend_alpha = jnp.where(
+        has_prev, jnp.maximum(1.0 / (sample_spp + 1.0), cfg.blend_alpha), 1.0
+    )
+
+    first_frame = state.frame_number <= 0
+    blend_alpha = jnp.where(first_frame | ~in_screen, 1.0, blend_alpha)
+    accept = jnp.where(first_frame | ~in_screen, 0, accept)
+
+    new_spp = jnp.where(blend_alpha < 1.0, 1.0 + sample_spp, 1.0)
+    new_color = blend_alpha[..., None] * color + (1.0 - blend_alpha[..., None]) * prev_color
+    out = jnp.concatenate([new_color, new_spp[..., None]], -1)
+
+    if cfg.half_screen_debug:
+        # texC.x > 0.5 early-out (preprocess.ps.hlsl:38); accept/prev-pixel
+        # stay stale in the reference but are only read for the left half.
+        xs = jnp.arange(w)[None, :, None]
+        right = xs >= ((w + 1) // 2)
+        out = jnp.where(right, cur_noisy, out)
+    return out, accept, pixel_f
+
+
+# ------------------------------------------------------------- regression
+def _gather_block_features(cur_pos, cur_norm, albedo, noisy, frame_number,
+                           n_blocks_x: int, n_blocks_y: int):
+    """Build the [B, 1024, 13] feature tensor for all blocks."""
+    h, w = noisy.shape[0], noisy.shape[1]
+    b = n_blocks_x * n_blocks_y
+    bid = jnp.arange(b, dtype=jnp.int32)
+    bx = (bid % n_blocks_x) * BLOCK_EDGE
+    by = (bid // n_blocks_x) * BLOCK_EDGE
+    pid = jnp.arange(BLOCK_PIXELS, dtype=jnp.int32)
+    ix = pid % BLOCK_EDGE
+    iy = pid // BLOCK_EDGE
+    off = BLOCK_OFFSETS[frame_number % 16]
+    px = bx[:, None] + ix[None, :] + off[0]   # [B, 1024]
+    py = by[:, None] + iy[None, :] + off[1]
+    mx = _mirror(px, w)
+    my = _mirror(py, h)
+
+    p = cur_pos[my, mx, :3]
+    n = cur_norm[my, mx, :3]
+    alb = albedo[my, mx, :3]
+    c = noisy[my, mx, :3]
+    c_over_a = jnp.where(alb < 0.01, 0.0, c / jnp.maximum(alb, 1e-20))
+
+    ones = jnp.ones(px.shape, jnp.float32)
+    feats = jnp.stack(
+        [
+            ones,
+            n[..., 0], n[..., 1], n[..., 2],
+            p[..., 0], p[..., 1], p[..., 2],
+            p[..., 0] ** 2, p[..., 1] ** 2, p[..., 2] ** 2,
+            c_over_a[..., 0], c_over_a[..., 1], c_over_a[..., 2],
+        ],
+        axis=-1,
+    )  # [B, 1024, 13]
+    return feats, px, py
+
+
+def _normalize_features(x):
+    """Min/max normalize scaled features (regressionCP.hlsl:127-190)."""
+    cols = []
+    for f in range(BUFFERS):
+        col = x[..., f]
+        if FEATURES_NOT_SCALED <= f < FEATURES:
+            cmin = jnp.min(col, axis=1, keepdims=True)
+            cmax = jnp.max(col, axis=1, keepdims=True)
+            span = cmax - cmin
+            col = jnp.where(span > 1.0, (col - cmin) / jnp.where(span > 1.0, span, 1.0),
+                            col - cmin)
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)
+
+
+def _householder_qr_noise(a, frame_number, noise_amount):
+    """The add_random variant (regressionCP.hlsl:346-466 path).
+
+    a: [B, 1024, 13].  Returns weights [B, 10, 3].
+    """
+    b = a.shape[0]
+    rows = jnp.arange(BLOCK_PIXELS)
+
+    # noise is added to feature columns 1..9 during the col==0 reflection,
+    # identical across blocks (the hash ignores the group id).
+    pid = rows[:, None]
+    fid = jnp.arange(BUFFERS)[None, :]
+    noise_idx = pid + fid * BLOCK_PIXELS + frame_number * BUFFERS * BLOCK_PIXELS
+    noise = noise_amount * 2.0 * (_hash_random(noise_idx) - 0.5)
+    noise = jnp.where((fid >= 1) & (fid < FEATURES), noise, 0.0)
+    a = a + noise[None, :, :]
+
+    rmat = jnp.zeros((b, FEATURES, BUFFERS), jnp.float32)
+    for col in range(FEATURES):
+        u = a[:, :, col]                              # [B, 1024]
+        mask_hi = rows > col                          # strictly below diagonal
+        norm_sq = jnp.sum(jnp.where(mask_hi[None, :], u * u, 0.0), axis=1)
+        u_col = u[:, col]
+        vec_len = jnp.sqrt(norm_sq + u_col * u_col)
+        u_new_col = u_col - vec_len
+        u_len_sq = norm_sq + u_new_col * u_new_col
+        uvec = jnp.where((rows == col)[None, :], u_new_col[:, None], u)
+        uvec = jnp.where((rows < col)[None, :], 0.0, uvec)
+        # R entries for this column: rows<col keep current values; row col = |v|
+        r_col = jnp.where((jnp.arange(FEATURES) < col)[None, :],
+                          a[:, :FEATURES, col],
+                          jnp.where((jnp.arange(FEATURES) == col)[None, :],
+                                    vec_len[:, None], 0.0))
+        rmat = rmat.at[:, :, col].set(r_col)
+        # reflect remaining columns
+        dots = jnp.einsum("bp,bpc->bc", uvec, a, precision=jax.lax.Precision.HIGHEST)
+        scale = 2.0 / jnp.maximum(u_len_sq, 1e-30)
+        update = uvec[:, :, None] * (dots * scale[:, None])[:, None, :]
+        # only columns > col are reflected; finished columns live in rmat
+        keep = (jnp.arange(BUFFERS) <= col)[None, None, :]
+        a = jnp.where(keep, a, a - update)
+    # Q^T y rows 0..9 live in the transformed color columns
+    qty = a[:, :FEATURES, FEATURES:BUFFERS]
+    # back substitution
+    weights = jnp.zeros((b, FEATURES, 3), jnp.float32)
+    wrows = qty
+    for i in range(FEATURES - 1, -1, -1):
+        diag = rmat[:, i, i]
+        wi = wrows[:, i, :] / diag[:, None]
+        weights = weights.at[:, i, :].set(wi)
+        if i > 0:
+            above = rmat[:, :i, i]
+            wrows = wrows.at[:, :i, :].add(-above[:, :, None] * wi[:, None, :])
+    return weights
+
+
+def _householder_qr_skip_ld(a):
+    """The IGNORE_LD_fEATURES variant (regressionCP.hlsl:207-344): columns
+    whose remaining norm is <= 0.01 are zeroed in R and skipped; the pivot
+    row advances only on accepted columns.  Returns weights [B, 10, 3]
+    (zeros for skipped columns)."""
+    b = a.shape[0]
+    rows = jnp.arange(BLOCK_PIXELS)
+    rmat = jnp.zeros((b, FEATURES, BUFFERS), jnp.float32)
+    limit = jnp.zeros((b,), jnp.int32)
+
+    for col in range(FEATURES):
+        u = a[:, :, col]
+        mask_hi = rows[None, :] > limit[:, None]
+        norm_sq = jnp.sum(jnp.where(mask_hi, u * u, 0.0), axis=1)
+        u_piv = jnp.take_along_axis(u, limit[:, None], axis=1)[:, 0]
+        vec_len = jnp.sqrt(norm_sq + u_piv * u_piv)
+        accept = vec_len > 0.01
+        u_new_piv = u_piv - vec_len
+        u_len_sq = norm_sq + u_new_piv * u_new_piv
+        do_reflect = accept & (u_len_sq >= 0.001)
+
+        uvec = jnp.where(rows[None, :] == limit[:, None], u_new_piv[:, None], u)
+        uvec = jnp.where(rows[None, :] < limit[:, None], 0.0, uvec)
+
+        # R column: rows < limit copy the (already reduced) column values,
+        # row == limit gets |v|, rest zero; rejected columns are all-zero.
+        ridx = jnp.arange(FEATURES)
+        r_col = jnp.where(ridx[None, :] < limit[:, None], a[:, :FEATURES, col], 0.0)
+        r_col = jnp.where(ridx[None, :] == limit[:, None], vec_len[:, None], r_col)
+        r_col = jnp.where(accept[:, None], r_col, 0.0)
+        rmat = rmat.at[:, :, col].set(r_col)
+
+        dots = jnp.einsum("bp,bpc->bc", uvec, a, precision=jax.lax.Precision.HIGHEST)
+        scale = jnp.where(do_reflect, 2.0 / jnp.maximum(u_len_sq, 1e-30), 0.0)
+        update = uvec[:, :, None] * (dots * scale[:, None])[:, None, :]
+        keep = (jnp.arange(BUFFERS) <= col)[None, None, :]
+        a = jnp.where(keep, a, a - update)
+        limit = limit + accept.astype(jnp.int32)
+
+    qty = a[:, :FEATURES, FEATURES:BUFFERS]
+
+    # LD back substitution (regressionCP.hlsl:323-344): walk columns 9..0,
+    # consuming pivot rows from `limit-1` downward for accepted columns.
+    weights = jnp.zeros((b, FEATURES, 3), jnp.float32)
+    wrows = qty  # [B, 10, 3] running right-hand sides
+    limit = limit - 1
+    ridx = jnp.arange(FEATURES)
+    for i in range(FEATURES - 1, -1, -1):
+        piv_r = jnp.take_along_axis(
+            rmat, jnp.maximum(limit, 0)[:, None, None].repeat(BUFFERS, axis=2), axis=1
+        )[:, 0, :]  # [B, 13] pivot row of R
+        diag = piv_r[:, i]
+        accepted = (diag != 0.0) & (limit >= 0)
+        piv_rhs = jnp.take_along_axis(
+            wrows, jnp.maximum(limit, 0)[:, None, None].repeat(3, axis=2), axis=1
+        )[:, 0, :]
+        wi = jnp.where(accepted[:, None], piv_rhs / jnp.where(accepted[:, None], diag[:, None], 1.0), 0.0)
+        weights = weights.at[:, i, :].set(wi)
+        new_limit = limit - accepted.astype(jnp.int32)
+        # subtract from remaining rows 0..new_limit: wrows[r] -= R[r, i] * wi
+        row_mask = (ridx[None, :] <= new_limit[:, None]) & accepted[:, None]
+        coeff = jnp.where(row_mask, rmat[:, :, i], 0.0)
+        wrows = wrows - coeff[:, :, None] * wi[:, None, :]
+        limit = new_limit
+    return weights
+
+
+def regression(cur_pos, cur_norm, albedo, noisy, frame_number, cfg: BMFRConfig):
+    """Fit + replace noisy color per block (regressionCP.hlsl `fit`)."""
+    h, w = noisy.shape[0], noisy.shape[1]
+    n_blocks_x = (w + BLOCK_EDGE - 1) // BLOCK_EDGE + 1
+    if cfg.half_screen_debug:
+        n_blocks_x //= 2  # DenoisePass.cpp:266-268 halves horizontal coverage
+    n_blocks_y = (h + BLOCK_EDGE - 1) // BLOCK_EDGE + 1
+
+    feats, px, py = _gather_block_features(
+        cur_pos, cur_norm, albedo, noisy, frame_number, n_blocks_x, n_blocks_y
+    )
+    x = _normalize_features(feats)
+    if cfg.remove_ld_features:
+        wts = _householder_qr_skip_ld(x)
+    else:
+        wts = _householder_qr_noise(x, frame_number, cfg.noise_amount)
+
+    fitted = jnp.einsum(
+        "bpf,bfc->bpc", x[..., :FEATURES], wts,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, 1024, 3]
+    fitted = jnp.maximum(fitted, 0.0)
+
+    in_range = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    alb = albedo[_mirror(py, h), _mirror(px, w), :3]
+    out_rgb = alb * fitted
+
+    flat_idx = jnp.where(in_range, py * w + px, h * w)
+    new_rgb = (
+        noisy[..., :3]
+        .reshape(-1, 3)
+        .at[flat_idx.reshape(-1)]
+        .set(out_rgb.reshape(-1, 3), mode="drop")
+        .reshape(h, w, 3)
+    )
+    return jnp.concatenate([new_rgb, noisy[..., 3:4]], -1)
+
+
+# ------------------------------------------------------------ postprocess
+def postprocess(state: BMFRState, filtered, accept, prev_pixel_f, cfg: BMFRConfig):
+    """Second temporal accumulation (postprocess.ps.hlsl)."""
+    h, w = filtered.shape[0], filtered.shape[1]
+    color = filtered[..., :3]
+    spp = filtered[..., 3]
+
+    base = jnp.floor(prev_pixel_f).astype(jnp.int32)
+    frac = prev_pixel_f - jnp.floor(prev_pixel_f)
+    omf = 1.0 - frac
+    weights = [
+        omf[..., 0] * omf[..., 1],
+        frac[..., 0] * omf[..., 1],
+        omf[..., 0] * frac[..., 1],
+        frac[..., 0] * frac[..., 1],
+    ]
+    offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    prev_color = jnp.zeros_like(color)
+    total_weight = jnp.zeros((h, w), jnp.float32)
+    for i, (dx, dy) in enumerate(offsets):
+        bit_ok = (accept & (1 << i)) != 0
+        sx = jnp.clip(base[..., 0] + dx, 0, w - 1)
+        sy = jnp.clip(base[..., 1] + dy, 0, h - 1)
+        wgt = jnp.where(bit_ok, weights[i], 0.0)
+        prev_color = prev_color + wgt[..., None] * state.prev_filtered[sy, sx, :3]
+        total_weight = total_weight + wgt
+
+    has_prev = (total_weight > 0.0) & (accept > 0) & (state.frame_number > 0)
+    blend_alpha = jnp.where(
+        has_prev, jnp.maximum(1.0 / jnp.maximum(spp, 1e-20), cfg.second_blend_alpha), 1.0
+    )
+    prev_color = jnp.where(
+        has_prev[..., None], prev_color / jnp.maximum(total_weight, 1e-20)[..., None], 0.0
+    )
+    out_rgb = blend_alpha[..., None] * color + (1.0 - blend_alpha[..., None]) * prev_color
+    out = jnp.concatenate([out_rgb, jnp.ones((h, w, 1), jnp.float32)], -1)
+    if cfg.half_screen_debug:
+        xs = jnp.arange(w)[None, :, None]
+        out = jnp.where(xs >= ((w + 1) // 2), filtered, out)
+    return out
+
+
+# ------------------------------------------------------------- full pass
+def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig):
+    """Full denoise stage over the channel dict; returns (state, output).
+
+    Follows DenoisePass::execute ordering exactly: preprocess -> history
+    blits (noisy/norm/pos) -> regression -> postprocess -> blit accumulated
+    into the output + filtered history.
+    """
+    cur_pos = channels["WorldPosition"]
+    cur_norm = channels["WorldNormal"]
+    albedo = channels["MaterialDiffuse"]
+    noisy = channels["Accumulated"]
+
+    if not (cfg.preprocess or cfg.regression or cfg.postprocess):
+        return state, noisy
+
+    accept = jnp.zeros(noisy.shape[:2], jnp.int32)
+    xs = jnp.arange(noisy.shape[1], dtype=jnp.float32)[None, :]
+    ys = jnp.arange(noisy.shape[0], dtype=jnp.float32)[:, None]
+    prev_pixel_f = jnp.stack(jnp.broadcast_arrays(xs, ys), -1)
+
+    if cfg.preprocess:
+        noisy, accept, prev_pixel_f = preprocess(
+            state, cur_pos, cur_norm, noisy, camera.prev_view_proj, cfg
+        )
+
+    # history blits (DenoisePass.cpp:180-182)
+    state = state.replace(prev_noisy=noisy, prev_norm=cur_norm, prev_pos=cur_pos)
+
+    if cfg.regression:
+        noisy = regression(cur_pos, cur_norm, albedo, noisy, state.frame_number, cfg)
+
+    if cfg.postprocess:
+        accumulated = postprocess(state, noisy, accept, prev_pixel_f, cfg)
+        out = accumulated
+        state = state.replace(prev_filtered=accumulated)
+    else:
+        out = noisy
+
+    state = state.replace(frame_number=state.frame_number + 1)
+    return state, out

@@ -1,0 +1,174 @@
+"""Rendering pipeline driver — the RenderingPipeline/Sample analogue.
+
+The reference's pass list (Main.cpp:15-18):
+  LightProbeGBufferPass -> BDPTPass -> SimpleAccumulationPass -> BMFR Denoise
+Here each pass is a pure function over a channel dict; the driver owns the
+mutable bits the reference kept in pass members: frame counters (G-buffer
+seeds from 0xDEADBEEF, LightProbeGBufferPass.h; BDPT from 0x1337,
+BDPTPass.h:40), accumulation state, BMFR history, camera animation, and the
+camera-move accumulation reset (RenderingPipeline.cpp:611-688 frame flow).
+
+The whole frame is one jitted function: XLA sees G-buffer + BDPT +
+accumulation (+ BMFR) as a single fused program — no per-pass host sync,
+which is the TPU-native replacement for the reference's command-list
+recording.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from ..passes import bdpt as bdpt_mod
+from ..passes import bmfr as bmfr_mod
+from ..passes import gbuffer as gbuffer_mod
+from ..passes.accumulate import AccumState, accumulate, camera_moved
+from ..ops import tonemap as tonemap_mod
+from ..scene.camera import begin_frame, derive_camera, make_camera
+from ..scene.scene import BakedScene
+from ..utils.config import RenderConfig
+
+GBUF_FRAME_INIT = 0xDEADBEEF   # LightProbeGBufferPass seed origin
+BDPT_FRAME_INIT = 0x1337       # BDPTPass.h:40
+
+
+@dataclass
+class RenderState:
+    """Everything mutable across frames (checkpointable)."""
+
+    accum: AccumState
+    bmfr: "bmfr_mod.BMFRState"
+    frame_index: int = 0
+    time: float = 0.0
+
+
+def render_frame_fn(
+    baked: BakedScene,
+    camera,
+    accum: AccumState,
+    bmfr_state,
+    gbuf_frame,
+    bdpt_frame,
+    reset,
+    cfg: RenderConfig,
+):
+    """One full frame (jittable; cfg static). Returns (channels, accum, bmfr,
+    raw_bdpt)."""
+    scene = baked.with_camera(camera)
+    intersect = scene.intersector()
+
+    jitter = gbuffer_mod.pixel_jitter_for_frame(bdpt_frame, cfg.gbuffer.jitter_mode)
+    lens_radius = (
+        cfg.gbuffer.focal_length_gui / (2.0 * cfg.gbuffer.f_stop)
+        if cfg.gbuffer.use_thin_lens
+        else 0.0
+    )
+    channels = gbuffer_mod.ray_traced_gbuffer(
+        scene,
+        intersect,
+        cfg.width,
+        cfg.height,
+        gbuf_frame,
+        jitter,
+        use_thin_lens=cfg.gbuffer.use_thin_lens,
+        lens_radius=lens_radius,
+        focal_len=cfg.gbuffer.focal_length_gui,
+    )
+
+    frame_img = bdpt_mod.bdpt_pass(
+        scene, intersect, channels, bdpt_frame, jitter, cfg.bdpt
+    )
+    channels["BDPT"] = frame_img
+
+    accum, accum_img = accumulate(
+        accum, frame_img, cfg.accumulate.max_accum_count, reset=reset
+    )
+    channels["Accumulated"] = accum_img
+
+    bmfr_state, denoised = bmfr_mod.bmfr_pass(
+        bmfr_state, channels, camera, cfg.bmfr
+    )
+    channels["PipelineOutput"] = denoised
+    return channels, accum, bmfr_state
+
+
+class Renderer:
+    """Progressive renderer over a baked scene (Sample::renderFrame loop)."""
+
+    def __init__(self, baked: BakedScene, config: RenderConfig):
+        self.baked = baked
+        self.cfg = config
+        self.camera = derive_camera(
+            baked.data.camera.replace(aspect=jnp.asarray(config.width / config.height, jnp.float32))
+        )
+        self.state = RenderState(
+            accum=AccumState.create(config.height, config.width),
+            bmfr=bmfr_mod.BMFRState.create(config.height, config.width),
+        )
+        self._prev_view_proj = self.camera.view_proj
+        self._fn = jax.jit(
+            functools.partial(render_frame_fn, cfg=config),
+        )
+        self.channels: dict = {}
+
+    # -- camera control ------------------------------------------------
+    def set_camera_pose(self, pos, target, up=(0, 1, 0)):
+        self.camera = begin_frame(
+            self.camera.replace(
+                pos_w=jnp.asarray(pos, jnp.float32),
+                target=jnp.asarray(target, jnp.float32),
+                up=jnp.asarray(up, jnp.float32),
+            )
+        )
+
+    def animate(self, dt: float):
+        """Advance the active camera path (Scene::update semantics)."""
+        host = self.baked.host
+        if host.camera_paths:
+            self.state.time += dt * host.camera_speed
+            pos, tgt, up = host.camera_paths[0].sample(self.state.time)
+            self.set_camera_pose(pos, tgt, up)
+
+    # -- frame loop ------------------------------------------------------
+    def render_frame(self):
+        reset = camera_moved(self._prev_view_proj, self.camera.view_proj)
+        self.channels, accum, bmfr_state = self._fn(
+            self.baked,
+            self.camera,
+            self.state.accum,
+            self.state.bmfr,
+            jnp.uint32(GBUF_FRAME_INIT + self.state.frame_index),
+            jnp.uint32(BDPT_FRAME_INIT + self.state.frame_index),
+            reset,
+        )
+        self.state.accum = accum
+        self.state.bmfr = bmfr_state
+        self.state.frame_index += 1
+        self._prev_view_proj = self.camera.view_proj
+        # roll prevViewProj for next frame's reprojection
+        self.camera = begin_frame(self.camera)
+        return self.channels["PipelineOutput"]
+
+    def render(self, n_frames: int):
+        out = None
+        for _ in range(n_frames):
+            out = self.render_frame()
+        return out
+
+    def display(self, channel: str = "PipelineOutput"):
+        """Tone-mapped 8-bit-ready image (SimpleToneMappingPass analogue)."""
+        img = self.channels[channel][..., :3]
+        op = tonemap_mod.OPERATOR_NAMES[self.cfg.tone_map_operator]
+        return tonemap_mod.tone_map(img, op)
+
+
+def make_cornell_renderer(size: int = 256, **cfg_kw) -> Renderer:
+    """Convenience: Cornell-box renderer (BASELINE config 1)."""
+    from ..models.procedural import cornell_box
+    from ..scene.scene import Scene
+
+    cfg = RenderConfig(width=size, height=size, **cfg_kw)
+    baked = Scene.from_built(cornell_box(), aspect=1.0).bake()
+    return Renderer(baked, cfg)

@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from ..accel import bvh as bvh_mod
 from ..accel.traverse import TriSoA, bake_triangles, make_intersector
@@ -218,19 +219,26 @@ class Scene:
             camera=self.camera,
             env_map=env,
         )
-        return BakedScene(data=data, tris=tris, host=self)
+        baked = BakedScene(data=data, tris=tris)
+        object.__setattr__(baked, "host", self)
+        return baked
 
 
-@dataclass
+@struct.dataclass
 class BakedScene:
-    """SceneData + intersection-ready triangles + an intersector closure."""
+    """SceneData + intersection-ready triangles (a jit-traceable pytree).
+
+    The originating host Scene, when available, is attached as the non-pytree
+    attribute `host` (used for animation paths / re-baking only).
+    """
 
     data: SceneData
     tris: TriSoA
-    host: Scene
 
     def intersector(self, brute_threshold: int = 512):
         return make_intersector(self.data.bvh, self.tris, brute_threshold)
 
     def with_camera(self, cam) -> "BakedScene":
-        return BakedScene(data=self.data.replace(camera=cam), tris=self.tris, host=self.host)
+        out = BakedScene(data=self.data.replace(camera=cam), tris=self.tris)
+        object.__setattr__(out, "host", getattr(self, "host", None))
+        return out

@@ -1,0 +1,83 @@
+"""Render configuration (the analogue of the reference's three config tiers:
+compile-time defines, SampleConfig/ArgList CLI, and per-pass GUI variables —
+SURVEY.md §5).  All fields here are *static* under jit: changing one
+recompiles, which replaces the reference's shader-define toggles
+(RayLaunch::addDefine) and refresh-flag machinery."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class BDPTConfig:
+    """BDPTPass GUI/CB parameters (BDPTPass.h:32-40, BDPTPass.cpp:79-94)."""
+
+    max_depth: int = 3            # mUserSpecifiedRayDepth (GUI 0..8)
+    max_possible_depth: int = 8   # mMaxPossibleRayDepth (path arrays 9)
+    mat_model: int = 0            # gMatIndex: 0 GGX, 1 Lambertian
+    clamp_upper: float = 0.9      # mClampUpper
+    refractive_index: float = 1.0  # gRefractiveIndex (dielectric hook)
+    emit_mult: float = 1.0        # gEmitMult
+    min_t: float = 1.0e-3         # ResourceManager shared mMinT
+    # --- fidelity switches (ours) ---
+    # faithful_rng: reproduce the reference's by-value seed in sampleBRDF
+    # (MaterialUtils.hlsli:130): subpath bounces re-draw the same randoms.
+    faithful_rng: bool = False
+    # reference_quirks: keep (a) the stale path vertex recorded at a miss
+    # bounce (globalIlluminationRay.hlsli:14-19 leaves payload geometry from
+    # the previous hit), (b) getUnweightedContribution's aL index bug
+    # (BDPTUtils.hlsli:198 uses cameraIndex for the light path).
+    reference_quirks: bool = True
+    # connection weighting: 'uniform' = shipped 1/pathLength
+    # (BDPTMain.rt.hlsl:164,197,228); 'power'/'balance' = corrected MIS from
+    # the dead getWeightPower/getWeightLinear code (BDPTUtils.hlsli:226-278).
+    connection_weight: str = "uniform"
+
+
+@dataclass(frozen=True)
+class GBufferConfig:
+    """LightProbeGBufferPass parameters (LightProbeGBufferPass.h:53-70)."""
+
+    use_thin_lens: bool = False
+    f_stop: float = 32.0
+    focal_length_gui: float = 1.0  # thin-lens focal length (GUI units)
+    jitter_mode: str = "msaa8"     # 'msaa8' | 'random' | 'none'
+
+
+@dataclass(frozen=True)
+class AccumulateConfig:
+    """SimpleAccumulationPass (SimpleAccumulationPass.h:70-71)."""
+
+    max_accum_count: int = 100
+
+
+@dataclass(frozen=True)
+class BMFRConfig:
+    """DenoisePass toggles + constants (DenoisePass.h:71-75, regressionCP
+    defines, preprocess/postprocess alphas)."""
+
+    preprocess: bool = True
+    regression: bool = False
+    postprocess: bool = True
+    remove_ld_features: bool = True   # IGNORE_LD_fEATURES define
+    half_screen_debug: bool = True    # denoise left half only (preprocess:38)
+    block_edge: int = 32
+    noise_amount: float = 0.01
+    position_limit_sq: float = 0.01
+    normal_limit_sq: float = 1.0
+    blend_alpha: float = 0.2
+    second_blend_alpha: float = 0.1
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1280
+    height: int = 720
+    bdpt: BDPTConfig = field(default_factory=BDPTConfig)
+    gbuffer: GBufferConfig = field(default_factory=GBufferConfig)
+    accumulate: AccumulateConfig = field(default_factory=AccumulateConfig)
+    bmfr: BMFRConfig = field(default_factory=BMFRConfig)
+    tone_map_operator: str = "clamp"
+
+    def with_(self, **kw) -> "RenderConfig":
+        return replace(self, **kw)
