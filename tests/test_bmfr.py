@@ -1,0 +1,140 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fyp_bidirectionalpathtracer_tpu.passes import bmfr
+from fyp_bidirectionalpathtracer_tpu.utils.config import BMFRConfig
+
+H = W = 64
+
+
+def _flat_scene_channels(color_fn, seed=0):
+    """Synthetic planar G-buffer: plane z=1, camera at origin."""
+    rs = np.random.RandomState(seed)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    u = (xs + 0.5) / W * 2 - 1
+    # clip-space y points up: uvy = (1 - v)/2 must land back on row ys
+    v = 1 - (ys + 0.5) / H * 2
+    pos = np.stack([u, v, np.ones_like(u), np.ones_like(u)], -1).astype(np.float32)
+    norm = np.zeros((H, W, 4), np.float32)
+    norm[..., 2] = -1.0
+    albedo = np.full((H, W, 4), 0.5, np.float32)
+    clean = color_fn(u, v)
+    noisy = clean + rs.normal(0, 0.25, clean.shape).astype(np.float32)
+    noisy4 = np.concatenate([noisy, np.ones((H, W, 1), np.float32)], -1)
+    return (
+        jnp.asarray(pos),
+        jnp.asarray(norm),
+        jnp.asarray(albedo),
+        jnp.asarray(np.clip(noisy4, 0, None)),
+        jnp.asarray(clean),
+    )
+
+
+def test_mirror_addressing():
+    idx = jnp.asarray([-3, -1, 0, 5, 63, 64, 66])
+    out = np.asarray(bmfr._mirror(idx, 64))
+    np.testing.assert_array_equal(out, [2, 0, 0, 5, 63, 63, 61])
+    assert np.all((out >= 0) & (out < 64))
+
+
+def test_hash_random_range():
+    r = np.asarray(bmfr._hash_random(jnp.arange(1000)))
+    assert np.all((r >= 0) & (r < 1))
+    assert 0.4 < r.mean() < 0.6
+
+
+@pytest.mark.parametrize("remove_ld", [True, False])
+def test_regression_denoises_linear_signal(remove_ld):
+    """A signal linear in the features must be recovered almost exactly."""
+    def color_fn(u, v):
+        # linear in world position -> inside the regression's model class
+        c = np.stack([0.3 + 0.2 * u, 0.5 - 0.1 * v, 0.4 + 0.05 * (u + v)], -1)
+        return np.clip(c, 0, None).astype(np.float32)
+
+    pos, norm, albedo, noisy4, clean = _flat_scene_channels(color_fn)
+    cfg = BMFRConfig(half_screen_debug=False, remove_ld_features=remove_ld)
+    out = np.asarray(
+        bmfr.regression(pos, norm, albedo, noisy4, jnp.int32(0), cfg)
+    )
+    err_out = np.abs(out[..., :3] - clean).mean()
+    err_in = np.abs(np.asarray(noisy4)[..., :3] - clean).mean()
+    assert np.isfinite(out).all()
+    assert err_out < 0.25 * err_in  # strong noise reduction
+
+
+def test_regression_rank_deficient_stable():
+    """Constant position plane (features collapse) must not blow up."""
+    pos = jnp.ones((H, W, 4), jnp.float32)
+    norm = jnp.zeros((H, W, 4), jnp.float32).at[..., 2].set(1.0)
+    albedo = jnp.full((H, W, 4), 0.5, jnp.float32)
+    rs = np.random.RandomState(1)
+    noisy = jnp.asarray(
+        np.abs(rs.normal(0.4, 0.2, (H, W, 4))).astype(np.float32)
+    )
+    for remove_ld in (True, False):
+        cfg = BMFRConfig(half_screen_debug=False, remove_ld_features=remove_ld)
+        out = np.asarray(bmfr.regression(pos, norm, albedo, noisy, jnp.int32(2), cfg))
+        assert np.isfinite(out).all(), f"remove_ld={remove_ld}"
+
+
+def test_preprocess_static_camera_accumulates():
+    """With an identity reprojection and matching history, spp grows."""
+    pos, norm, albedo, noisy4, clean = _flat_scene_channels(lambda u, v: np.full((H, W, 3), 0.5, np.float32))
+    state = bmfr.BMFRState.create(H, W)
+    # prev == cur (static camera), frame 1
+    state = state.replace(
+        prev_pos=pos, prev_norm=norm, prev_noisy=noisy4,
+        frame_number=jnp.asarray(1, jnp.int32),
+    )
+    # view-proj that projects x,y in [-1,1] onto the screen: the synthetic
+    # plane was built exactly in NDC, so identity works.
+    vp = jnp.eye(4)
+    cfg = BMFRConfig(half_screen_debug=False)
+    out, accept, prev_pix = bmfr.preprocess(state, pos, norm, noisy4, vp, cfg)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    # most pixels accept history -> spp == 2
+    acc = np.asarray(accept)
+    assert (acc > 0).mean() > 0.9
+    assert (out[..., 3] >= 2.0 - 1e-5).mean() > 0.8
+
+
+def test_preprocess_first_frame_passthrough():
+    pos, norm, albedo, noisy4, _ = _flat_scene_channels(lambda u, v: np.full((H, W, 3), 0.5, np.float32))
+    state = bmfr.BMFRState.create(H, W)
+    cfg = BMFRConfig(half_screen_debug=False)
+    out, accept, _ = bmfr.preprocess(state, pos, norm, noisy4, jnp.eye(4), cfg)
+    np.testing.assert_allclose(np.asarray(out)[..., :3], np.asarray(noisy4)[..., :3], atol=1e-6)
+    assert np.all(np.asarray(accept) == 0)
+    assert np.all(np.asarray(out)[..., 3] == 1.0)
+
+
+def test_postprocess_blends_history():
+    filtered = jnp.full((H, W, 4), 0.8, jnp.float32).at[..., 3].set(10.0)
+    state = bmfr.BMFRState.create(H, W).replace(
+        prev_filtered=jnp.full((H, W, 4), 0.2, jnp.float32),
+        frame_number=jnp.asarray(3, jnp.int32),
+    )
+    accept = jnp.full((H, W), 0b1111, jnp.int32)
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    prev_pix = jnp.stack([xs, ys], -1)
+    cfg = BMFRConfig(half_screen_debug=False)
+    out = np.asarray(bmfr.postprocess(state, filtered, accept, prev_pix, cfg))
+    # alpha = max(1/10, 0.1) = 0.1 -> 0.1*0.8 + 0.9*0.2 = 0.26
+    np.testing.assert_allclose(out[5, 5, :3], 0.26, rtol=1e-4)
+
+
+def test_half_screen_gate():
+    pos, norm, albedo, noisy4, _ = _flat_scene_channels(lambda u, v: np.full((H, W, 3), 0.5, np.float32))
+    state = bmfr.BMFRState.create(H, W).replace(
+        prev_pos=pos, prev_norm=norm, prev_noisy=noisy4,
+        frame_number=jnp.asarray(1, jnp.int32),
+    )
+    cfg = BMFRConfig(half_screen_debug=True)
+    out, _, _ = bmfr.preprocess(state, pos, norm, noisy4, jnp.eye(4), cfg)
+    # right half passes through unchanged
+    np.testing.assert_array_equal(
+        np.asarray(out)[:, (W + 1) // 2:], np.asarray(noisy4)[:, (W + 1) // 2:]
+    )
