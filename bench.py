@@ -1,0 +1,94 @@
+"""Headline benchmark: BDPT Cornell box throughput on one chip.
+
+Prints ONE JSON line: {"metric": "mrays_per_sec", "value": N, "unit":
+"Mrays/s", "vs_baseline": N}.  vs_baseline is versus the BASELINE.json
+target of 1 Grays/s/chip (the reference publishes no numbers of its own —
+BASELINE.md).
+
+Ray accounting (per pixel per frame, depth d, all lanes traced every step in
+wavefront mode — BDPTMain.rt.hlsl structure):
+  1 primary (G-buffer) + (d-1) camera extensions + d light extensions
+  + d NEE shadow + d light-connect shadow + (d-1)*(d-1) connection shadow
+For d=3 that is 16 rays/pixel/frame.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def rays_per_pixel(depth: int) -> int:
+    return 1 + (depth - 1) + depth + depth + depth + (depth - 1) * (depth - 1)
+
+
+def main(width=1280, height=720, depth=3, warmup=3, iters=10):
+    from fyp_bidirectionalpathtracer_tpu.models.procedural import cornell_box
+    from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
+        BDPT_FRAME_INIT,
+        GBUF_FRAME_INIT,
+        render_frame_fn,
+    )
+    from fyp_bidirectionalpathtracer_tpu.passes.accumulate import AccumState
+    from fyp_bidirectionalpathtracer_tpu.passes.bmfr import BMFRState
+    from fyp_bidirectionalpathtracer_tpu.scene.scene import Scene
+    from fyp_bidirectionalpathtracer_tpu.utils.config import BDPTConfig, RenderConfig
+
+    cfg = RenderConfig(
+        width=width, height=height, bdpt=BDPTConfig(max_depth=depth)
+    )
+    baked = Scene.from_built(cornell_box(), aspect=width / height).bake()
+    fn = jax.jit(functools.partial(render_frame_fn, cfg=cfg))
+
+    accum = AccumState.create(height, width)
+    bmfr = BMFRState.create(height, width)
+    reset = jnp.asarray(False)
+
+    def step(i, accum, bmfr):
+        ch, accum, bmfr = fn(
+            baked,
+            baked.data.camera,
+            accum,
+            bmfr,
+            jnp.uint32(GBUF_FRAME_INIT + i),
+            jnp.uint32(BDPT_FRAME_INIT + i),
+            reset,
+        )
+        return ch, accum, bmfr
+
+    for i in range(warmup):
+        ch, accum, bmfr = step(i, accum, bmfr)
+    jax.block_until_ready(ch["PipelineOutput"])
+
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + iters):
+        ch, accum, bmfr = step(i, accum, bmfr)
+    jax.block_until_ready(ch["PipelineOutput"])
+    dt = (time.perf_counter() - t0) / iters
+
+    rays = width * height * rays_per_pixel(depth)
+    mrays = rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "mrays_per_sec",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 1000.0, 4),
+                "detail": {
+                    "resolution": f"{width}x{height}",
+                    "depth": depth,
+                    "rays_per_pixel": rays_per_pixel(depth),
+                    "sec_per_frame": round(dt, 5),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""CLI application driver — the Sample/ArgList/SampleTest analogue.
+
+Replaces the reference's windowed app loop (Sample::runInternal + msgLoop,
+Sample.cpp:195-287) with a headless progressive render loop, and its `-test`
+automation (SampleTest: -ssframes screenshots, -shutdown frame, JSON results,
+SampleTest.cpp:368-494) with the same flag surface:
+
+  python -m fyp_bidirectionalpathtracer_tpu.pipeline.app \
+      --scene cornell --width 512 --height 512 --frames 64 \
+      --ssframes 16,64 --outputdir out --animate
+
+Writes screenshots + a JSON results file like the reference's test harness.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU BDPT renderer")
+    p.add_argument("--scene", default="cornell",
+                   help="'cornell', 'many-lights', or a path to .fscene/.obj")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--frames", type=int, default=32, help="frames to accumulate")
+    p.add_argument("--max-depth", type=int, default=3)
+    p.add_argument("--material", type=int, default=0, choices=[0, 1],
+                   help="0 GGX, 1 Lambertian (gMatIndex)")
+    p.add_argument("--clamp-upper", type=float, default=0.9)
+    p.add_argument("--tonemap", default="clamp",
+                   choices=["clamp", "linear", "reinhard", "reinhard_mod",
+                            "heji_hable", "hable_uc2", "aces"])
+    p.add_argument("--denoise", action="store_true", help="enable BMFR")
+    p.add_argument("--regression", action="store_true",
+                   help="enable BMFR QR regression stage")
+    p.add_argument("--full-screen-denoise", action="store_true",
+                   help="disable the reference's half-screen A/B gate")
+    p.add_argument("--thin-lens", action="store_true")
+    p.add_argument("--animate", action="store_true",
+                   help="advance the scene camera path each frame")
+    p.add_argument("--fixedtimedelta", type=float, default=1.0 / 60.0,
+                   help="animation time step (SampleTest -fixedtimedelta)")
+    p.add_argument("--ssframes", default="",
+                   help="comma-separated frame ids to screenshot")
+    p.add_argument("--shutdown", type=int, default=0,
+                   help="stop after this frame (0 = run --frames)")
+    p.add_argument("--outputdir", default=".")
+    p.add_argument("--output", default="render.png")
+    p.add_argument("--checkpoint", default="", help="save/resume state path")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", action="store_true")
+    p.add_argument("--faithful-rng", action="store_true",
+                   help="reproduce the reference's by-value RNG seeds")
+    return p
+
+
+def load_scene(name: str):
+    from ..models.procedural import cornell_box, many_light_scene
+    from ..scene.scene import Scene
+
+    if name == "cornell":
+        return Scene.from_built(cornell_box())
+    if name == "many-lights":
+        return Scene.from_built(many_light_scene())
+    if name.endswith(".fscene"):
+        from ..scene.fscene import load_fscene
+
+        return load_fscene(name)
+    if name.endswith(".obj"):
+        from ..models.obj import load_obj
+
+        meshes, mats = load_obj(name)
+        sc = Scene(meshes=meshes, materials=mats)
+        sc.apply_default_fixups()
+        return sc
+    raise ValueError(f"unknown scene {name!r}")
+
+
+def main(argv=None) -> dict:
+    args = build_arg_parser().parse_args(argv)
+
+    from ..pipeline.renderer import Renderer
+    from ..utils.config import (
+        AccumulateConfig, BDPTConfig, BMFRConfig, GBufferConfig, RenderConfig,
+    )
+    from ..utils.image import write_png
+    from ..utils.profiler import Profiler
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        bdpt=BDPTConfig(
+            max_depth=args.max_depth,
+            mat_model=args.material,
+            clamp_upper=args.clamp_upper,
+            faithful_rng=args.faithful_rng,
+        ),
+        gbuffer=GBufferConfig(use_thin_lens=args.thin_lens),
+        accumulate=AccumulateConfig(),
+        bmfr=BMFRConfig(
+            preprocess=args.denoise,
+            regression=args.denoise and args.regression,
+            postprocess=args.denoise,
+            half_screen_debug=not args.full_screen_denoise,
+        ),
+        tone_map_operator=args.tonemap,
+    )
+
+    scene = load_scene(args.scene)
+    max_lights = max(16, len(scene.lights))
+    baked = scene.bake(max_lights=max_lights)
+    renderer = Renderer(baked, cfg)
+    prof = Profiler(enabled=args.profile)
+
+    if args.resume and args.checkpoint:
+        from ..utils.checkpoint import load_render_state
+
+        load_render_state(args.checkpoint, renderer)
+
+    os.makedirs(args.outputdir, exist_ok=True)
+    ss_frames = {int(s) for s in args.ssframes.split(",") if s.strip()}
+    n_frames = args.shutdown or args.frames
+    results = {"frames": n_frames, "screenshots": [], "frame_times": []}
+
+    start = renderer.state.frame_index
+    for f in range(start, n_frames):
+        if args.animate:
+            renderer.animate(args.fixedtimedelta)
+        t0 = time.perf_counter()
+        with prof.event("frame"):
+            out = renderer.render_frame()
+            out.block_until_ready()
+        results["frame_times"].append(time.perf_counter() - t0)
+        if (f + 1) in ss_frames:
+            path = os.path.join(args.outputdir, f"frame_{f + 1:05d}.png")
+            write_png(path, renderer.display())
+            results["screenshots"].append(path)
+
+    final = os.path.join(args.outputdir, args.output)
+    write_png(final, renderer.display())
+    results["output"] = final
+    steady = results["frame_times"][1:] or results["frame_times"]
+    results["sec_per_frame"] = sum(steady) / max(len(steady), 1)
+
+    if args.checkpoint:
+        from ..utils.checkpoint import save_render_state
+
+        save_render_state(args.checkpoint, renderer)
+    if args.profile:
+        print(prof.report())
+
+    with open(os.path.join(args.outputdir, "results.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps({"output": final, "sec_per_frame": results["sec_per_frame"]}))
+    return results
+
+
+if __name__ == "__main__":
+    main()
