@@ -59,14 +59,20 @@ def main(width=1280, height=720, depth=3, warmup=3, iters=10):
         )
         return ch, accum, bmfr
 
+    def sync(ch):
+        # NOTE: on the tunneled TPU platform block_until_ready does not
+        # actually block; a scalar device->host readback is the only honest
+        # synchronization point.
+        return float(ch["PipelineOutput"][0, 0, 0])
+
     for i in range(warmup):
         ch, accum, bmfr = step(i, accum, bmfr)
-    jax.block_until_ready(ch["PipelineOutput"])
+    sync(ch)
 
     t0 = time.perf_counter()
     for i in range(warmup, warmup + iters):
         ch, accum, bmfr = step(i, accum, bmfr)
-    jax.block_until_ready(ch["PipelineOutput"])
+    sync(ch)
     dt = (time.perf_counter() - t0) / iters
 
     rays = width * height * rays_per_pixel(depth)

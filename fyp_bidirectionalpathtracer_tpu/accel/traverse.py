@@ -280,11 +280,27 @@ def intersect_bvh(
     )
 
 
-def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 512):
-    """Pick the dense or BVH path once, at trace (host) time, by scene size."""
-    use_brute = int(np.asarray(tris.v0.shape[0])) <= brute_threshold
+def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048):
+    """Pick the dense or BVH path once, at trace (host) time, by scene size.
+
+    Small scenes take the Pallas dense kernel (accel.pallas_intersect) on
+    TPU — every triangle stays in VMEM and the [rays x tris] tile never
+    touches HBM; on other backends the jnp brute force is used.  Large
+    scenes take the threaded-BVH lockstep traversal.
+    """
+    from .pallas_intersect import intersect_pallas, pack_triangles
+
+    n_tris = int(np.asarray(tris.v0.shape[0]))
+    use_brute = n_tris <= brute_threshold
+    use_pallas = use_brute and jax.default_backend() == "tpu"
+    tri_pack = pack_triangles(tris) if use_pallas else None
 
     def intersect(origin, direction, t_min, t_max=None, closest=True, cull_backface=False):
+        if use_pallas:
+            return intersect_pallas(
+                tris, origin, direction, t_min, t_max, closest, cull_backface,
+                tri_pack=tri_pack, interpret=False,
+            )
         if use_brute:
             return intersect_brute(
                 tris, origin, direction, t_min, t_max, closest, cull_backface
