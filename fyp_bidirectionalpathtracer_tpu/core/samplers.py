@@ -87,35 +87,27 @@ def ggx_microfacet_sample(seed, roughness, n):
     return seed, h
 
 
-def unit_sphere_sample(seed, max_iters: int = 32):
+def unit_sphere_sample(seed, max_iters: int = 24):
     """Rejection-sample a point in (on) the unit ball, per lane.
 
     The reference loops until |p| <= 1 (MaterialUtils.hlsli:56-63).  We run a
     masked lockstep loop: converged lanes stop consuming randoms, matching the
-    per-lane sequence of an independent scalar loop.  `max_iters` bounds the
-    trip count (P(not done) = (1 - pi/6)^k ~ 4.8e-11 at k=32).
+    per-lane sequence of an independent scalar loop.  The loop is STATICALLY
+    UNROLLED (data-independent trip count) so XLA fuses it into one
+    elementwise kernel — a `while_loop` with an `all(done)` test serializes
+    into dozens of kernel launches + reductions on TPU.  P(lane not done
+    after k draws) = (1 - pi/6)^k ~ 1.3e-7 at k=24.
     """
-
-    def body(state):
-        seed, p, done, it = state
+    shape = jnp.shape(seed)
+    p = jnp.full(shape + (3,), 2.0, dtype=jnp.float32)
+    done = jnp.zeros(shape, dtype=bool)
+    for _ in range(max_iters):
         seed_n, x, y, z = rng.next_rand3(seed)
         cand = vec3(x * 2.0 - 1.0, y * 2.0 - 1.0, z * 2.0 - 1.0)
         # Lanes already done keep their p and their seed (no draws consumed).
-        new_p = jnp.where(done[..., None], p, cand)
-        new_seed = jnp.where(done, seed, seed_n)
-        new_done = done | (length_sq(new_p) <= 1.0)
-        return new_seed, new_p, new_done, it + 1
-
-    def cond(state):
-        _, _, done, it = state
-        return (~jnp.all(done)) & (it < max_iters)
-
-    shape = jnp.shape(seed)
-    p0 = jnp.full(shape + (3,), 2.0, dtype=jnp.float32)
-    done0 = jnp.zeros(shape, dtype=bool)
-    seed, p, done, _ = jax.lax.while_loop(
-        cond, body, (seed, p0, done0, jnp.int32(0))
-    )
+        p = jnp.where(done[..., None], p, cand)
+        seed = jnp.where(done, seed, seed_n)
+        done = done | (length_sq(p) <= 1.0)
     # Pathological non-converged lanes (~never) fall back to +Z.
     p = jnp.where(done[..., None], p, jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
     return seed, p

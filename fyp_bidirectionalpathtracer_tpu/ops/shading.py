@@ -37,6 +37,20 @@ class ShadingData:
     material_id: jnp.ndarray  # [...] int32
 
 
+def _tri_attr_pack(tris: TriSoA):
+    """[T, 16] packed per-triangle attributes: n0 n1 n2 (9), uv0 uv1 uv2 (6),
+    mat_id (1).  One wide gather costs the same as a narrow one on TPU, so
+    all attribute fetches collapse into a single gather per intersection."""
+    return jnp.concatenate(
+        [
+            tris.n0, tris.n1, tris.n2,
+            tris.uv0, tris.uv1, tris.uv2,
+            tris.material_id.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+
+
 def interpolate_hit(tris: TriSoA, hit: HitRecord, ray_origin, ray_dir):
     """Geometric attributes at the hit (DXR barycentric convention:
     P = (1-u-v)*v0 + u*v1 + v*v2).  Position from ray parametric form for
@@ -46,9 +60,10 @@ def interpolate_hit(tris: TriSoA, hit: HitRecord, ray_origin, ray_dir):
     v = hit.bary_v[..., None]
     w = 1.0 - u - v
     pos = ray_origin + hit.t[..., None] * ray_dir
-    n = normalize(w * tris.n0[tri] + u * tris.n1[tri] + v * tris.n2[tri])
-    uv = w[..., :1] * tris.uv0[tri] + u[..., :1] * tris.uv1[tri] + v[..., :1] * tris.uv2[tri]
-    mat_id = tris.material_id[tri]
+    a = _tri_attr_pack(tris)[tri]  # single packed gather
+    n = normalize(w * a[..., 0:3] + u * a[..., 3:6] + v * a[..., 6:9])
+    uv = w * a[..., 9:11] + u * a[..., 11:13] + v * a[..., 13:15]
+    mat_id = a[..., 15].astype(jnp.int32)
     return pos, n, uv, mat_id
 
 
@@ -65,14 +80,36 @@ def prepare_shading_data(
     pos, n, uv, mat_id = interpolate_hit(tris, hit, ray_origin, ray_dir)
     m = jnp.maximum(mat_id, 0)
 
-    base_const = materials.base_color[m]
-    base = sample_or_constant(atlas.data, materials.base_color_tex[m], uv, base_const)
+    # one packed material-row gather instead of ~9 narrow ones
+    mat_pack = jnp.concatenate(
+        [
+            materials.base_color,                       # 0:4
+            materials.specular,                         # 4:8
+            materials.emissive,                         # 8:11
+            materials.ior[:, None],                     # 11
+            materials.shading_model.astype(jnp.float32)[:, None],   # 12
+            materials.double_sided.astype(jnp.float32)[:, None],    # 13
+            materials.base_color_tex.astype(jnp.float32)[:, None],  # 14
+            materials.specular_tex.astype(jnp.float32)[:, None],    # 15
+            materials.emissive_tex.astype(jnp.float32)[:, None],    # 16
+        ],
+        axis=-1,
+    )
+    mrow = mat_pack[m]
+    base_const = mrow[..., 0:4]
+    spec_const = mrow[..., 4:8]
+    em_rgb = mrow[..., 8:11]
+    ior = mrow[..., 11]
+    double_sided = mrow[..., 13] > 0.5
+    bc_tex = mrow[..., 14].astype(jnp.int32)
+    sp_tex = mrow[..., 15].astype(jnp.int32)
+    em_tex = mrow[..., 16].astype(jnp.int32)
+
+    base = sample_or_constant(atlas.data, bc_tex, uv, base_const)
     opacity = base_const[..., 3]  # sd.opacity = m.baseColor.a (BDPTUtils:10)
+    spec = sample_or_constant(atlas.data, sp_tex, uv, spec_const)
 
-    spec_const = materials.specular[m]
-    spec = sample_or_constant(atlas.data, materials.specular_tex[m], uv, spec_const)
-
-    metal_rough = materials.shading_model[m] == SHADING_METAL_ROUGH
+    metal_rough = mrow[..., 12] == SHADING_METAL_ROUGH
     # metal-rough: diffuse = lerp(base, 0, metalness=spec.b),
     #              specular = lerp(0.04, base, spec.b), linearRough = spec.g
     metal = spec[..., 2:3]
@@ -92,14 +129,13 @@ def prepare_shading_data(
     rough = linear_rough * linear_rough
 
     em_const = jnp.concatenate(
-        [materials.emissive[m], jnp.ones(materials.emissive[m].shape[:-1] + (1,))],
-        axis=-1,
+        [em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], axis=-1
     )
-    emissive = sample_or_constant(atlas.data, materials.emissive_tex[m], uv, em_const)[..., :3]
+    emissive = sample_or_constant(atlas.data, em_tex, uv, em_const)[..., :3]
 
     v = normalize(camera_pos - pos)
     n_dot_v = dot(n, v)
-    flip = (n_dot_v <= 0) & materials.double_sided[m]
+    flip = (n_dot_v <= 0) & double_sided
     n = jnp.where(flip[..., None], -n, n)
     n_dot_v = jnp.where(flip, -n_dot_v, n_dot_v)
 
@@ -114,7 +150,7 @@ def prepare_shading_data(
         roughness=rough,
         emissive=emissive,
         opacity=opacity,
-        ior=materials.ior[m],
+        ior=ior,
         n_dot_v=n_dot_v,
         material_id=mat_id,
     )

@@ -44,6 +44,16 @@ def sample_atlas_bilinear(atlas_data, slot, uv):
 
 
 def sample_or_constant(atlas_data, slot, uv, constant):
-    """Texture if slot >= 0 else the constant factor ([...,4] both ways)."""
+    """Texture if slot >= 0 else the constant factor ([...,4] both ways).
+
+    Shape-static fast paths: a 1x1 atlas needs no bilinear taps, and the
+    dummy single-slot atlas (untextured scene) needs no gather at all.
+    """
+    if atlas_data.shape[1] == 1 and atlas_data.shape[2] == 1:
+        if atlas_data.shape[0] == 1:
+            tex = jnp.broadcast_to(atlas_data[0, 0, 0], constant.shape)
+        else:
+            tex = atlas_data[jnp.clip(slot, 0, atlas_data.shape[0] - 1), 0, 0]
+        return jnp.where((slot >= 0)[..., None], tex, constant)
     tex = sample_atlas_bilinear(atlas_data, slot, uv)
     return jnp.where((slot >= 0)[..., None], tex, constant)

@@ -159,13 +159,24 @@ def sample_light(seed, lights):
     cosine lobe around dirW (directional) or an un-normalized ball sample
     (point — reference quirk kept)."""
     seed, idx = mat.pick_light(seed, lights.count)
-    origin = lights.pos_w[idx]
-    intensity = lights.intensity[idx]
-    is_dir = lights.type[idx] == LIGHT_DIRECTIONAL
+    pack = jnp.concatenate(
+        [
+            lights.pos_w,                              # 0:3
+            lights.intensity,                          # 3:6
+            lights.dir_w,                              # 6:9
+            lights.type.astype(jnp.float32)[:, None],  # 9
+        ],
+        axis=-1,
+    )
+    row = pack[idx]
+    origin = row[..., 0:3]
+    intensity = row[..., 3:6]
+    light_dir_w = row[..., 6:9]
+    is_dir = row[..., 9].astype(jnp.int32) == LIGHT_DIRECTIONAL
     seed_s, p = unit_sphere_sample(seed)
     # directional lanes consume no sphere draws (their HLSL skips the loop)
     seed = jnp.where(is_dir, seed, seed_s)
-    axis = jnp.where(is_dir[..., None], lights.dir_w[idx], p)
+    axis = jnp.where(is_dir[..., None], light_dir_w, p)
     seed, direction = cos_hemisphere_sample(seed, axis)
     return seed, origin, direction, intensity
 

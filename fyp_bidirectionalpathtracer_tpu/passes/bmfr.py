@@ -97,15 +97,16 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
     nrm = cur_norm[..., :3]
     color = cur_noisy[..., :3]
 
-    # project world pos through prevViewProj (column-vector convention)
-    hom = jnp.concatenate([wp, jnp.ones(wp.shape[:-1] + (1,), jnp.float32)], -1)
-    clip = jnp.einsum(
-        "ij,hwj->hwi", prev_view_proj, hom,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    clip = clip / clip[..., 3:4]
-    uvx = (clip[..., 0] + 1.0) * 0.5
-    uvy = (1.0 - clip[..., 1]) * 0.5
+    # project world pos through prevViewProj (column-vector convention);
+    # explicit per-row mads — einsum/dot_general lowers poorly for 4x4xHW
+    x, y, z = wp[..., 0], wp[..., 1], wp[..., 2]
+    m = prev_view_proj
+    cx = m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3]
+    cy_ = m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3]
+    cw = m[3, 0] * x + m[3, 1] * y + m[3, 2] * z + m[3, 3]
+    inv_w = 1.0 / cw
+    uvx = (cx * inv_w + 1.0) * 0.5
+    uvy = (1.0 - cy_ * inv_w) * 0.5
     in_screen = (uvx >= 0.0) & (uvx <= 1.0) & (uvy >= 0.0) & (uvy <= 1.0)
 
     pixel_f = jnp.stack([uvx * w, uvy * h], -1) - 0.5  # PIXEL_OFFSET
@@ -120,6 +121,12 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
     ]
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
 
+    # one packed history image -> a single gather per bilinear tap
+    history = jnp.concatenate(
+        [state.prev_pos[..., :3], state.prev_norm[..., :3], state.prev_noisy],
+        axis=-1,
+    )  # [H, W, 10]
+
     prev_color = jnp.zeros_like(color)
     sample_spp = jnp.zeros((h, w), jnp.float32)
     total_weight = jnp.zeros((h, w), jnp.float32)
@@ -130,16 +137,14 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
         valid = (sx >= 0) & (sy >= 0) & (sx < w) & (sy < h)
         cx = jnp.clip(sx, 0, w - 1)
         cy = jnp.clip(sy, 0, h - 1)
-        p_pos = state.prev_pos[cy, cx, :3]
-        pos_ok = jnp.sum((p_pos - wp) ** 2, -1) < cfg.position_limit_sq
-        p_n = state.prev_norm[cy, cx, :3]
-        nrm_ok = jnp.sum((p_n - nrm) ** 2, -1) < cfg.normal_limit_sq
+        tap = history[cy, cx]
+        pos_ok = jnp.sum((tap[..., 0:3] - wp) ** 2, -1) < cfg.position_limit_sq
+        nrm_ok = jnp.sum((tap[..., 3:6] - nrm) ** 2, -1) < cfg.normal_limit_sq
         ok = valid & pos_ok & nrm_ok
         accept = accept | jnp.where(ok, 1 << i, 0)
         wgt = jnp.where(ok, weights[i], 0.0)
-        prev_data = state.prev_noisy[cy, cx]
-        prev_color = prev_color + wgt[..., None] * prev_data[..., :3]
-        sample_spp = sample_spp + wgt * prev_data[..., 3]
+        prev_color = prev_color + wgt[..., None] * tap[..., 6:9]
+        sample_spp = sample_spp + wgt * tap[..., 9]
         total_weight = total_weight + wgt
 
     has_prev = total_weight > 0.0

@@ -64,13 +64,27 @@ def eval_light(lights: LightArray, index, surface_pos):
     get a finite distance (Lights.slang:62-71 + getLightData's
     length(ls.posW - hitPos)).
     """
-    lpos = lights.pos_w[index]
-    ldir = lights.dir_w[index]
-    linten = lights.intensity[index]
-    ltype = lights.type[index]
-    cos_open = lights.cos_opening_angle[index]
-    opening = lights.opening_angle[index]
-    penumbra = lights.penumbra_angle[index]
+    # single packed-row gather (wide rows cost the same as narrow on TPU)
+    pack = jnp.concatenate(
+        [
+            lights.pos_w,                                   # 0:3
+            lights.dir_w,                                   # 3:6
+            lights.intensity,                               # 6:9
+            lights.type.astype(jnp.float32)[:, None],       # 9
+            lights.cos_opening_angle[:, None],              # 10
+            lights.opening_angle[:, None],                  # 11
+            lights.penumbra_angle[:, None],                 # 12
+        ],
+        axis=-1,
+    )
+    row = pack[index]
+    lpos = row[..., 0:3]
+    ldir = row[..., 3:6]
+    linten = row[..., 6:9]
+    ltype = row[..., 9].astype(jnp.int32)
+    cos_open = row[..., 10]
+    opening = row[..., 11]
+    penumbra = row[..., 12]
 
     # ---- point (spot) light ----
     to_l = lpos - surface_pos
