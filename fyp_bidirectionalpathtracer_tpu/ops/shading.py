@@ -9,6 +9,7 @@ secondary-surface path (BDPTUtils.hlsli:40-41).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -65,6 +66,58 @@ def interpolate_hit(tris: TriSoA, hit: HitRecord, ray_origin, ray_dir):
     uv = w * a[..., 9:11] + u * a[..., 11:13] + v * a[..., 13:15]
     mat_id = a[..., 15].astype(jnp.int32)
     return pos, n, uv, mat_id
+
+
+def shading_from_fields(fields, atlas: TextureAtlas, hit: HitRecord,
+                        ray_origin, ray_dir, view_origin) -> ShadingData:
+    """ShadingData from the fused kernel's field table
+    (accel.pallas_shaded layout) — same decode as prepare_shading_data but
+    with zero HBM gathers (textures excepted)."""
+    pos = ray_origin + hit.t[..., None] * ray_dir
+    n = normalize(fields[..., 4:7])
+    uv = fields[..., 7:9]
+    base_const = fields[..., 9:13]
+    spec_const = fields[..., 13:17]
+    em_rgb = fields[..., 17:20]
+    ior = fields[..., 20]
+    metal_rough = fields[..., 21] == SHADING_METAL_ROUGH
+    double_sided = fields[..., 22] > 0.5
+    bc_tex = fields[..., 23].astype(jnp.int32)
+    sp_tex = fields[..., 24].astype(jnp.int32)
+    em_tex = fields[..., 25].astype(jnp.int32)
+    mat_id = fields[..., 26].astype(jnp.int32)
+
+    base = sample_or_constant(atlas.data, bc_tex, uv, base_const)
+    spec = sample_or_constant(atlas.data, sp_tex, uv, spec_const)
+    opacity = base_const[..., 3]
+
+    metal = spec[..., 2:3]
+    dif_mr = base[..., :3] * (1.0 - metal)
+    spec_mr = 0.04 * (1.0 - metal) + base[..., :3] * metal
+    lr_mr = spec[..., 1]
+    dif_sg = base[..., :3]
+    spec_sg = spec[..., :3]
+    lr_sg = 1.0 - spec[..., 3]
+    mr = metal_rough[..., None]
+    diffuse = jnp.where(mr, dif_mr, dif_sg)
+    specular = jnp.where(mr, spec_mr, spec_sg)
+    linear_rough = jnp.maximum(0.08, jnp.where(metal_rough, lr_mr, lr_sg))
+    rough = linear_rough * linear_rough
+
+    em_const = jnp.concatenate([em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], -1)
+    emissive = sample_or_constant(atlas.data, em_tex, uv, em_const)[..., :3]
+
+    v = normalize(view_origin - pos)
+    n_dot_v = dot(n, v)
+    flip = (n_dot_v <= 0) & double_sided
+    n = jnp.where(flip[..., None], -n, n)
+    n_dot_v = jnp.where(flip, -n_dot_v, n_dot_v)
+
+    return ShadingData(
+        pos_w=pos, n=n, v=v, uv=uv, diffuse=diffuse, specular=specular,
+        linear_roughness=linear_rough, roughness=rough, emissive=emissive,
+        opacity=opacity, ior=ior, n_dot_v=n_dot_v, material_id=mat_id,
+    )
 
 
 def prepare_shading_data(
@@ -154,3 +207,49 @@ def prepare_shading_data(
         n_dot_v=n_dot_v,
         material_id=mat_id,
     )
+
+
+def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | None = None):
+    """Build a `trace(origin, dir, t_min, view_origin, cull_backface) ->
+    (HitRecord, ShadingData)` closure.
+
+    On TPU with an on-chip-sized scene it uses the fused Pallas
+    intersection+closest-hit kernel (accel.pallas_shaded) — zero attribute
+    gathers per bounce; otherwise it composes intersect +
+    prepare_shading_data.  `force_fused` overrides the backend check (used by
+    tests to run the fused path in interpreter mode on CPU).
+    """
+    from ..accel.pallas_shaded import intersect_shaded, pack_shaded_triangles
+
+    n_tris = int(baked.tris.v0.shape[0])
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused = (n_tris <= brute_threshold) if force_fused is None else force_fused
+    use_fused = use_fused and (on_tpu or force_fused)
+    intersect = baked.intersector(brute_threshold)
+
+    if use_fused:
+        pack = pack_shaded_triangles(baked.tris, baked.data.materials)
+
+        def trace(origin, direction, t_min, view_origin, cull_backface=False):
+            hit, fields = intersect_shaded(
+                baked.tris, pack, origin, direction, t_min,
+                cull_backface=cull_backface, interpret=not on_tpu,
+            )
+            sd = shading_from_fields(
+                fields, baked.data.textures, hit, origin, direction, view_origin
+            )
+            return hit, sd
+
+        return trace
+
+    def trace(origin, direction, t_min, view_origin, cull_backface=False):
+        hit = intersect(
+            origin, direction, t_min, closest=True, cull_backface=cull_backface
+        )
+        sd = prepare_shading_data(
+            baked.tris, baked.data.materials, baked.data.textures,
+            hit, origin, direction, view_origin,
+        )
+        return hit, sd
+
+    return trace

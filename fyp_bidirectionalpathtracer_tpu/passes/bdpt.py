@@ -33,7 +33,6 @@ from ..core import rng
 from ..core.samplers import cos_hemisphere_sample, unit_sphere_sample
 from ..core.vecmath import dot, normalize, saturate
 from ..ops import materials as mat
-from ..ops.shading import prepare_shading_data
 from ..scene.camera import project_dir_to_pixel
 from ..scene.lights import eval_light
 from ..scene.types import LIGHT_DIRECTIONAL
@@ -116,17 +115,15 @@ def _nan_guard(c):
     return jnp.where(bad, 0.0, c)
 
 
-def shoot_ray(payload: Payload, baked, intersect, cfg: BDPTConfig) -> Payload:
+def shoot_ray(payload: Payload, trace, cfg: BDPTConfig) -> Payload:
     """One extension step for active lanes (globalIlluminationRay.hlsli).
 
     miss -> color=0, terminated=True, geometry kept stale (reference quirk);
     hit  -> shading data + sampleBRDF + updateRayData.
     """
     active = ~payload.terminated
-    hit = intersect(payload.ray_origin, payload.ray_dir, cfg.min_t, closest=True)
-    sd = prepare_shading_data(
-        baked.tris, baked.data.materials, baked.data.textures,
-        hit, payload.ray_origin, payload.ray_dir, payload.ray_origin,
+    hit, sd = trace(
+        payload.ray_origin, payload.ray_dir, cfg.min_t, payload.ray_origin
     )
     seed2, weight, l, pdf, is_spec = mat.sample_brdf(
         payload.seed, sd.n, sd.n, sd.v, sd.diffuse, sd.specular, sd.roughness,
@@ -254,12 +251,17 @@ def bdpt_pass(
     frame_count,
     pixel_jitter,
     cfg: BDPTConfig,
+    trace=None,
 ):
     """Full BDPT estimator; returns the per-frame radiance image [H,W,4].
 
     Mirrors SimpleDiffuseGIRayGen (BDPTMain.rt.hlsl:42-234); the output
     starts from a cleared texture (BDPTPass.cpp:74).
     """
+    if trace is None:
+        from ..ops.shading import make_shaded_tracer
+
+        trace = make_shaded_tracer(baked)
     cam = baked.data.camera
     lights = baked.data.lights
     pos4 = channels["WorldPosition"]
@@ -312,7 +314,7 @@ def bdpt_pass(
     payload = payload.replace(terminated=~valid)  # background lanes inert
     for depth in range(1, d_max):
         was_active = ~payload.terminated
-        payload = shoot_ray(payload, baked, intersect, cfg)
+        payload = shoot_ray(payload, trace, cfg)
         camera_path[depth + 1] = payload.vertex().where(was_active, zeros_vert)
     seed = payload.seed
 
@@ -328,7 +330,7 @@ def bdpt_pass(
     lpayload = lpayload.replace(terminated=~valid)
     for depth in range(0, d_max):
         was_active = ~lpayload.terminated
-        lpayload = shoot_ray(lpayload, baked, intersect, cfg)
+        lpayload = shoot_ray(lpayload, trace, cfg)
         light_path[depth + 1] = lpayload.vertex().where(was_active, zeros_vert)
         take[depth + 1] = jnp.where(was_active, ~lpayload.terminated, take[depth + 1])
     seed = lpayload.seed

@@ -17,9 +17,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import rng, samplers
-from ..core.vecmath import normalize, vec3
+from ..core.vecmath import normalize
 from ..ops.envmap import eval_env_nearest
-from ..ops.shading import prepare_shading_data
 from ..scene.camera import camera_ray_dirs
 
 
@@ -42,7 +41,7 @@ def pixel_jitter_for_frame(frame_count, mode: str = "msaa8"):
 
 def ray_traced_gbuffer(
     baked,
-    intersect,
+    trace,
     width: int,
     height: int,
     frame_count,
@@ -51,7 +50,8 @@ def ray_traced_gbuffer(
     lens_radius=0.0,
     focal_len=1.0,
 ):
-    """Returns the channel dict. `intersect` from BakedScene.intersector()."""
+    """Returns the channel dict. `trace` from ops.shading.make_shaded_tracer
+    (closest hit + shading data in one wavefront call)."""
     cam = baked.data.camera
     d_raw = camera_ray_dirs(cam, width, height, pixel_jitter)
 
@@ -71,15 +71,12 @@ def ray_traced_gbuffer(
         origin = jnp.broadcast_to(cam.pos_w, d_raw.shape)
         direction = normalize(d_raw)
 
-    hit = intersect(origin, direction, 0.0, closest=True, cull_backface=True)
-    sd = prepare_shading_data(
-        baked.tris,
-        baked.data.materials,
-        baked.data.textures,
-        hit,
+    hit, sd = trace(
         origin,
         direction,
+        0.0,
         jnp.broadcast_to(cam.pos_w, d_raw.shape),
+        cull_backface=True,
     )
     valid = hit.hit
     vmask = valid[..., None]

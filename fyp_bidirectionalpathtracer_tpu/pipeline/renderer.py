@@ -56,8 +56,11 @@ def render_frame_fn(
 ):
     """One full frame (jittable; cfg static). Returns (channels, accum, bmfr,
     raw_bdpt)."""
+    from ..ops.shading import make_shaded_tracer
+
     scene = baked.with_camera(camera)
     intersect = scene.intersector()
+    trace = make_shaded_tracer(scene)
 
     jitter = gbuffer_mod.pixel_jitter_for_frame(bdpt_frame, cfg.gbuffer.jitter_mode)
     lens_radius = (
@@ -67,7 +70,7 @@ def render_frame_fn(
     )
     channels = gbuffer_mod.ray_traced_gbuffer(
         scene,
-        intersect,
+        trace,
         cfg.width,
         cfg.height,
         gbuf_frame,
@@ -78,7 +81,7 @@ def render_frame_fn(
     )
 
     frame_img = bdpt_mod.bdpt_pass(
-        scene, intersect, channels, bdpt_frame, jitter, cfg.bdpt
+        scene, intersect, channels, bdpt_frame, jitter, cfg.bdpt, trace=trace
     )
     channels["BDPT"] = frame_img
 

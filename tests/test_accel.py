@@ -104,3 +104,28 @@ def test_degenerate_empty_scene():
     tree = bvh_mod.build_bvh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
     b = BVHArrays(**{k: jnp.asarray(v) for k, v in tree.items()})
     assert int(b.node_miss[0]) == -1
+
+
+def test_fused_shaded_tracer_matches_fallback(cornell):
+    """The Pallas fused intersect+shade kernel (interpret mode on CPU) must
+    produce the same ShadingData as intersect + prepare_shading_data."""
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import make_shaded_tracer
+
+    o, d = _random_rays(257, [0.1, 0.1, 0.1], [0.9, 0.9, 0.9], seed=3)
+    view = jnp.zeros_like(o)
+    trace_ref = make_shaded_tracer(cornell, force_fused=False)
+    trace_fused = make_shaded_tracer(cornell, force_fused=True)
+    h0, s0 = trace_ref(o, d, 1e-3, view)
+    h1, s1 = trace_fused(o, d, 1e-3, view)
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    hit = np.asarray(h0.tri) >= 0
+    for name in ("pos_w", "n", "diffuse", "specular", "emissive"):
+        a = np.asarray(getattr(s0, name))[hit]
+        b = np.asarray(getattr(s1, name))[hit]
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(s0.roughness)[hit], np.asarray(s1.roughness)[hit], atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s0.material_id)[hit], np.asarray(s1.material_id)[hit]
+    )

@@ -14,9 +14,11 @@ SIZE = 48
 @pytest.fixture(scope="module")
 def setup():
     baked = Scene.from_built(cornell_box(), aspect=1.0).bake()
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import make_shaded_tracer
+    trace = make_shaded_tracer(baked)
     intersect = baked.intersector()
     ch = gb.ray_traced_gbuffer(
-        baked, intersect, SIZE, SIZE, jnp.uint32(0), jnp.asarray([0.5, 0.5])
+        baked, trace, SIZE, SIZE, jnp.uint32(0), jnp.asarray([0.5, 0.5])
     )
     return baked, intersect, ch
 

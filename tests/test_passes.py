@@ -26,9 +26,10 @@ def renderer(baked):
 
 
 def test_gbuffer_channels(baked):
-    intersect = baked.intersector()
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import make_shaded_tracer
+    trace = make_shaded_tracer(baked)
     ch = gb.ray_traced_gbuffer(
-        baked, intersect, SIZE, SIZE, jnp.uint32(0), jnp.asarray([0.5, 0.5])
+        baked, trace, SIZE, SIZE, jnp.uint32(0), jnp.asarray([0.5, 0.5])
     )
     expected = {
         "WorldPosition", "WorldNormal", "MaterialDiffuse",
@@ -51,11 +52,13 @@ def test_gbuffer_channels(baked):
 
 def test_gbuffer_thin_lens_differs(baked):
     intersect = baked.intersector()
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import make_shaded_tracer
+    trace = make_shaded_tracer(baked)
     pin = gb.ray_traced_gbuffer(
-        baked, intersect, SIZE, SIZE, jnp.uint32(0), jnp.asarray([0.5, 0.5])
+        baked, trace, SIZE, SIZE, jnp.uint32(0), jnp.asarray([0.5, 0.5])
     )
     thin = gb.ray_traced_gbuffer(
-        baked, intersect, SIZE, SIZE, jnp.uint32(0), jnp.asarray([0.5, 0.5]),
+        baked, trace, SIZE, SIZE, jnp.uint32(0), jnp.asarray([0.5, 0.5]),
         use_thin_lens=True, lens_radius=0.05, focal_len=1.0,
     )
     assert np.any(np.asarray(pin["WorldPosition"]) != np.asarray(thin["WorldPosition"]))
