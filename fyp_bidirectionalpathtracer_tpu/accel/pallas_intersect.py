@@ -206,3 +206,102 @@ def intersect_pallas(
         bary_u=u[:n, 0].reshape(shape),
         bary_v=v[:n, 0].reshape(shape),
     )
+
+
+def _occlusion_kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, hit_ref,
+                      *, n_tri_tiles: int, n_tris: int):
+    """Any-hit query: one OR-reduce per chunk, no closest-hit bookkeeping —
+    the ACCEPT_FIRST_HIT_AND_END_SEARCH shadow ray (standardShadowRay.hlsli)."""
+    ox = o_ref[:, 0:1]
+    oy = o_ref[:, 1:2]
+    oz = o_ref[:, 2:3]
+    dx = d_ref[:, 0:1]
+    dy = d_ref[:, 1:2]
+    dz = d_ref[:, 2:3]
+    tmin = tmin_ref[:, 0:1]
+    tmax = tmax_ref[:, 0:1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TRI_TILE), 1)
+
+    any_hit = jnp.zeros((RAY_BLOCK, 1), jnp.float32)
+    for c in range(n_tri_tiles):
+        sl = slice(c * TRI_TILE, (c + 1) * TRI_TILE)
+        v0x = tri_ref[0:1, sl]
+        v0y = tri_ref[1:2, sl]
+        v0z = tri_ref[2:3, sl]
+        e1x = tri_ref[3:4, sl]
+        e1y = tri_ref[4:5, sl]
+        e1z = tri_ref[5:6, sl]
+        e2x = tri_ref[6:7, sl]
+        e2y = tri_ref[7:8, sl]
+        e2z = tri_ref[8:9, sl]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        det_ok = jnp.abs(det) > 1e-9
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        valid = (
+            det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > tmin) & (t < tmax) & ((lane + c * TRI_TILE) < n_tris)
+        )
+        any_hit = any_hit + jnp.sum(valid.astype(jnp.float32), axis=1, keepdims=True)
+    hit_ref[:, :] = any_hit
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "n_tris", "n_tri_tiles"))
+def _launch_occlusion(o, d, tmin, tmax, tri_pack, n_tris, n_tri_tiles, interpret):
+    n_pad = o.shape[0]
+    grid = (n_pad // RAY_BLOCK,)
+    ray_spec = lambda w: pl.BlockSpec(  # noqa: E731
+        (RAY_BLOCK, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(tri_pack.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _occlusion_kernel, n_tri_tiles=n_tri_tiles, n_tris=n_tris
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec(3), ray_spec(3), ray_spec(1), ray_spec(1), tri_spec],
+        out_specs=pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        interpret=interpret,
+    )(o, d, tmin, tmax, tri_pack)
+
+
+def occluded_pallas(tris, origin, direction, t_min, t_max=None, tri_pack=None,
+                    interpret: bool | None = None):
+    """Boolean any-hit query over the ray wavefront (alpha test N/A)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = origin.shape[:-1]
+    n = 1
+    for s in shape:
+        n *= s
+    n_pad = max(RAY_BLOCK, ((n + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK)
+
+    def pad_rays(a, width):
+        return jnp.pad(a.reshape(n, width), ((0, n_pad - n), (0, 0)))
+
+    o = pad_rays(origin, 3)
+    d = pad_rays(direction, 3)
+    tmin = pad_rays(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), shape)[..., None], 1)
+    if t_max is None:
+        tmax = jnp.full((n_pad, 1), _BIG, jnp.float32)
+    else:
+        tmax = pad_rays(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape)[..., None], 1)
+    if tri_pack is None:
+        tri_pack = pack_triangles(tris)
+    n_tris = tris.v0.shape[0]
+    n_tri_tiles = tri_pack.shape[1] // TRI_TILE
+    hits = _launch_occlusion(o, d, tmin, tmax, tri_pack, n_tris, n_tri_tiles, interpret)
+    return (hits[:n, 0] > 0).reshape(shape)

@@ -288,7 +288,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048):
     touches HBM; on other backends the jnp brute force is used.  Large
     scenes take the threaded-BVH lockstep traversal.
     """
-    from .pallas_intersect import intersect_pallas, pack_triangles
+    from .pallas_intersect import intersect_pallas, occluded_pallas, pack_triangles
 
     n_tris = int(np.asarray(tris.v0.shape[0]))
     use_brute = n_tris <= brute_threshold
@@ -297,6 +297,19 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048):
 
     def intersect(origin, direction, t_min, t_max=None, closest=True, cull_backface=False):
         if use_pallas:
+            if not closest and not cull_backface:
+                # shadow rays: cheap any-hit kernel, no closest bookkeeping
+                occ = occluded_pallas(
+                    tris, origin, direction, t_min, t_max,
+                    tri_pack=tri_pack, interpret=False,
+                )
+                zero = jnp.zeros(occ.shape, jnp.float32)
+                return HitRecord(
+                    t=jnp.where(occ, zero, _BIG),
+                    tri=jnp.where(occ, 0, -1),
+                    bary_u=zero,
+                    bary_v=zero,
+                )
             return intersect_pallas(
                 tris, origin, direction, t_min, t_max, closest, cull_backface,
                 tri_pack=tri_pack, interpret=False,

@@ -346,7 +346,7 @@ def bdpt_pass(
     out = out + jnp.where((valid & has_emissive)[..., None], emis4, 0.0)
 
     # --- estimator 1: path tracing with NEE ---
-    for i in range(d_max):
+    for i in range(d_max if cfg.enable_path_tracing else 0):
         seed, direct = mat.eval_direct(
             seed, shadow_fn, lights, cfg.min_t,
             camera_path[i + 1].pos, camera_path[i + 1].n, camera_path[i + 1].v,
@@ -360,7 +360,7 @@ def bdpt_pass(
         out = out + jnp.where(valid[..., None], add, 0.0)
 
     # --- estimator 3: s,t connections (own pixel, sequential saturate) ---
-    for total_len in range(2, d_max + 1):
+    for total_len in range(2, (d_max + 1) if cfg.enable_connections else 0):
         for s in range(1, d_max):
             t = total_len - s
             if t < 0 or t > cfg.max_possible_depth:
@@ -382,10 +382,12 @@ def bdpt_pass(
             out = jnp.where(mask, saturate(out + add), out)
 
     # --- estimator 2: light tracing splats (deterministic scatter-add) ---
-    splat = jnp.zeros((height * width, 4), jnp.float32)
+    # TPU scatter-add is ~8x slower with a trailing component axis, so each
+    # channel scatters into its own flat [H*W] buffer.
+    splat_ch = [jnp.zeros(height * width, jnp.float32) for _ in range(4)]
     camera_n = normalize(cam.camera_w)
     take_cum = jnp.ones(shape, bool)
-    for i in range(d_max):
+    for i in range(d_max if cfg.enable_light_tracing else 0):
         take_cum = take_cum & take[i + 1]
         last = light_path[i + 1]
         to_cam = cam.pos_w - last.pos
@@ -407,11 +409,17 @@ def bdpt_pass(
         shade = _nan_guard(shade)
         in_range = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
         ok = active & in_range
-        lin = jnp.where(ok, iy * width + ix, height * width)  # OOB -> dropped
-        add = jnp.concatenate([shade, jnp.ones(shape + (1,), jnp.float32)], -1)
-        add = jnp.where(ok[..., None], add, 0.0)
-        splat = splat.at[lin.reshape(-1)].add(add.reshape(-1, 4), mode="drop")
-    splat = splat.reshape(shape + (4,))
+        lin = jnp.where(ok, iy * width + ix, height * width).reshape(-1)  # OOB dropped
+        okf = ok.astype(jnp.float32)
+        adds = [
+            jnp.where(ok, shade[..., 0], 0.0).reshape(-1),
+            jnp.where(ok, shade[..., 1], 0.0).reshape(-1),
+            jnp.where(ok, shade[..., 2], 0.0).reshape(-1),
+            okf.reshape(-1),
+        ]
+        for k in range(4):
+            splat_ch[k] = splat_ch[k].at[lin].add(adds[k], mode="drop")
+    splat = jnp.stack(splat_ch, -1).reshape(shape + (4,))
     # background pixels wrote (env, 1) before any splats landed (BDPTMain:64);
     # splats then add on top of whatever the target pixel holds.
     result = jnp.where(valid[..., None], out, bg)

@@ -72,6 +72,28 @@ def _mirror(idx, size):
     return idx
 
 
+def _pack_2x2(img):
+    """[H,W,C] -> [H+1,W+1,4C] 2x2-neighborhood pack.
+
+    Entry [g_y, g_x] holds img[g-1+o] (edge-clamped) for the four bilinear
+    offsets o in {(0,0),(1,0),(0,1),(1,1)}; gathering at g = base+1 fetches
+    all four taps of a bilinear footprint in ONE gather (TPU gathers cost
+    ~10 ms per 1M indices) with exact behavior for base = -1 edge cases.
+    """
+    padded = jnp.pad(img, ((1, 0), (1, 0), (0, 0)), mode="edge")
+    right = jnp.concatenate([padded[:, 1:], padded[:, -1:]], axis=1)
+    down = jnp.concatenate([padded[1:], padded[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate([padded, right, down, down_right], axis=-1)
+
+
+def _gather_2x2(pack, base, h, w):
+    """Fetch the 4-tap block for integer base coords ([H,W,2] int32)."""
+    gx = jnp.clip(base[..., 0] + 1, 0, w)
+    gy = jnp.clip(base[..., 1] + 1, 0, h)
+    return pack[gy, gx]
+
+
 def _hash_random(a):
     """random() (regressionCP.hlsl:78-87): integer hash -> [0,1) float."""
     a = a.astype(jnp.uint32)
@@ -121,11 +143,14 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
     ]
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
 
-    # one packed history image -> a single gather per bilinear tap
-    history = jnp.concatenate(
-        [state.prev_pos[..., :3], state.prev_norm[..., :3], state.prev_noisy],
-        axis=-1,
-    )  # [H, W, 10]
+    # packed 2x2-neighborhood history -> ONE gather for all 4 bilinear taps
+    history = _pack_2x2(
+        jnp.concatenate(
+            [state.prev_pos[..., :3], state.prev_norm[..., :3], state.prev_noisy],
+            axis=-1,
+        )
+    )  # [H+1, W+1, 40]
+    taps = _gather_2x2(history, base, h, w)  # [H, W, 40]
 
     prev_color = jnp.zeros_like(color)
     sample_spp = jnp.zeros((h, w), jnp.float32)
@@ -135,9 +160,7 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
         sx = base[..., 0] + dx
         sy = base[..., 1] + dy
         valid = (sx >= 0) & (sy >= 0) & (sx < w) & (sy < h)
-        cx = jnp.clip(sx, 0, w - 1)
-        cy = jnp.clip(sy, 0, h - 1)
-        tap = history[cy, cx]
+        tap = taps[..., 10 * i:10 * (i + 1)]
         pos_ok = jnp.sum((tap[..., 0:3] - wp) ** 2, -1) < cfg.position_limit_sq
         nrm_ok = jnp.sum((tap[..., 3:6] - nrm) ** 2, -1) < cfg.normal_limit_sq
         ok = valid & pos_ok & nrm_ok
@@ -404,14 +427,14 @@ def postprocess(state: BMFRState, filtered, accept, prev_pixel_f, cfg: BMFRConfi
         frac[..., 0] * frac[..., 1],
     ]
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    pack = _pack_2x2(state.prev_filtered[..., :3])
+    taps = _gather_2x2(pack, base, h, w)  # [H, W, 12]
     prev_color = jnp.zeros_like(color)
     total_weight = jnp.zeros((h, w), jnp.float32)
-    for i, (dx, dy) in enumerate(offsets):
+    for i, _ in enumerate(offsets):
         bit_ok = (accept & (1 << i)) != 0
-        sx = jnp.clip(base[..., 0] + dx, 0, w - 1)
-        sy = jnp.clip(base[..., 1] + dy, 0, h - 1)
         wgt = jnp.where(bit_ok, weights[i], 0.0)
-        prev_color = prev_color + wgt[..., None] * state.prev_filtered[sy, sx, :3]
+        prev_color = prev_color + wgt[..., None] * taps[..., 3 * i:3 * (i + 1)]
         total_weight = total_weight + wgt
 
     has_prev = (total_weight > 0.0) & (accept > 0) & (state.frame_number > 0)

@@ -32,6 +32,10 @@ class BDPTConfig:
     # (BDPTMain.rt.hlsl:164,197,228); 'power'/'balance' = corrected MIS from
     # the dead getWeightPower/getWeightLinear code (BDPTUtils.hlsli:226-278).
     connection_weight: str = "uniform"
+    # estimator family toggles (ours; the reference always runs all three)
+    enable_path_tracing: bool = True    # estimator 1 (NEE path tracing)
+    enable_light_tracing: bool = True   # estimator 2 (camera splats)
+    enable_connections: bool = True     # estimator 3 (s,t connections)
 
 
 @dataclass(frozen=True)
