@@ -210,3 +210,47 @@ def many_light_scene(n_lights: int = 128, seed: int = 0) -> BuiltScene:
         for _ in range(n_lights)
     ]
     return s
+
+
+def checkerboard(res: int = 64, c0=(0.9, 0.9, 0.9), c1=(0.3, 0.3, 0.35), tiles: int = 8):
+    """Procedural checker texture [res,res,4]."""
+    ys, xs = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    mask = ((xs * tiles // res) + (ys * tiles // res)) % 2 == 0
+    img = np.where(mask[..., None], np.asarray(c0, np.float32), np.asarray(c1, np.float32))
+    return np.concatenate([img, np.ones((res, res, 1), np.float32)], -1)
+
+
+def textured_room(light_intensity=(20.0, 20.0, 20.0)) -> BuiltScene:
+    """A pink-room-like textured interior: checkered floor, tinted walls with
+    a second texture, one emissive panel material, a sphere and a box — a
+    stand-in exercising the texture-atlas sampling path (the reference's FBX
+    content is not parseable here)."""
+    floor_mat = MaterialDesc(
+        "floor", base_color=(1.0, 1.0, 1.0, 1.0),
+        base_color_image=checkerboard(),
+    )
+    wall_mat = MaterialDesc(
+        "wall", base_color=(0.9, 0.6, 0.6, 1.0),
+        base_color_image=checkerboard(64, (0.95, 0.7, 0.7), (0.85, 0.55, 0.55), 4),
+    )
+    shiny = MaterialDesc("shiny", base_color=(0.4, 0.4, 0.45, 1.0),
+                         specular=(0.6, 0.6, 0.6, 0.85))
+    glow = MaterialDesc("glow", base_color=(0.2, 0.2, 0.2, 1.0),
+                        emissive=(2.0, 1.8, 1.4))
+    s = BuiltScene(materials=[floor_mat, wall_mat, shiny, glow])
+    s.meshes.append(quad((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 0, 0), 0, uv_scale=2.0))
+    s.meshes.append(quad((0, 1, 0), (1, 1, 0), (1, 1, 1), (0, 1, 1), 1))
+    s.meshes.append(quad((0, 0, 1), (0, 1, 1), (1, 1, 1), (1, 0, 1), 1))
+    s.meshes.append(quad((0, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 1), 1))
+    s.meshes.append(quad((1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0), 1))
+    s.meshes.append(icosphere((0.35, 0.2, 0.6), 0.2, 2, subdivisions=2))
+    s.meshes[-1].material = 2
+    s.meshes.append(box((0.72, 0.14, 0.4), (0.25, 0.28, 0.25), 3))
+    s.lights = [
+        {"type": "point", "pos": (0.5, 0.9, 0.45), "intensity": light_intensity}
+    ]
+    s.camera = {
+        "pos": (0.5, 0.5, -1.2), "target": (0.5, 0.45, 0.5),
+        "up": (0.0, 1.0, 0.0), "focal_length": 21.0, "aspect": 1.0,
+    }
+    return s

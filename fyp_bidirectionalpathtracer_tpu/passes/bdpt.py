@@ -373,6 +373,9 @@ def bdpt_pass(
             if t >= 1:
                 shade = _unweighted_contribution(camera_path, light_path, s, t, g, cfg)
                 w = _connection_weight(camera_path, light_path, s, t, cfg, total_len)
+                w = jnp.asarray(w, jnp.float32)
+                if w.ndim:  # per-lane MIS weight -> broadcast over rgb
+                    w = w[..., None]
                 shade = mat.clamp_vec(shade * w, cfg.clamp_upper)
                 shade = _nan_guard(shade)
             else:
