@@ -122,13 +122,18 @@ def sample_ggx_brdf(seed, n, no_normal_n, v, dif, spec, rough):
     return seed, weight, l, pdf, is_specular
 
 
-def ggx_direct(seed, shadow_fn, lights, min_t, pos, n, v, dif, spec, rough):
-    """ggxDirect: one-light NEE with xN compensation (MaterialUtils:149-184)."""
+def nee_pick(seed, lights, pos):
+    """The light-pick + light-eval half of evalDirect (1 rand consumed).
+    Returns (seed, l, intensity, dist) — the shadow query follows."""
     seed, idx = pick_light(seed, lights.count)
     l, intensity, dist, _ = eval_light(lights, idx, pos)
+    return seed, l, intensity, dist
+
+
+def ggx_direct_shade(vis, l, intensity, n, v, dif, spec, rough, light_count):
+    """The shading half of ggxDirect given visibility (MaterialUtils:160-183)."""
     n_dot_l = saturate(dot(n, l))
-    vis = shadow_fn(pos, l, min_t, dist)
-    shadow_mult = jnp.where(vis, lights.count.astype(jnp.float32), 0.0)
+    shadow_mult = jnp.where(vis, light_count.astype(jnp.float32), 0.0)
     h = normalize(v + l)
     n_dot_h = saturate(dot(n, h))
     l_dot_h = saturate(dot(l, h))
@@ -138,10 +143,29 @@ def ggx_direct(seed, shadow_fn, lights, min_t, pos, n, v, dif, spec, rough):
     f = schlick_fresnel(spec, l_dot_h)
     # NdotL cancelled against the denominator exactly as in the reference.
     ggx_term = f * (d * g / (4.0 * n_dot_v))[..., None]
-    color = shadow_mult[..., None] * intensity * (
+    return shadow_mult[..., None] * intensity * (
         ggx_term + (n_dot_l[..., None] * dif) * M_1_PI
     )
-    return seed, color
+
+
+def lambertian_direct_shade(vis, l, intensity, n, dif, light_count):
+    """The shading half of lambertianDirect (MaterialUtils:299-306)."""
+    l_dot_n = saturate(dot(n, l))
+    shadow_mult = jnp.where(vis, light_count.astype(jnp.float32), 0.0)
+    return (shadow_mult * l_dot_n)[..., None] * intensity * dif / M_PI
+
+
+def nee_shade(vis, l, intensity, n, v, dif, spec, rough, light_count, mat_model: int):
+    if mat_model == GGX:
+        return ggx_direct_shade(vis, l, intensity, n, v, dif, spec, rough, light_count)
+    return lambertian_direct_shade(vis, l, intensity, n, dif, light_count)
+
+
+def ggx_direct(seed, shadow_fn, lights, min_t, pos, n, v, dif, spec, rough):
+    """ggxDirect: one-light NEE with xN compensation (MaterialUtils:149-184)."""
+    seed, l, intensity, dist = nee_pick(seed, lights, pos)
+    vis = shadow_fn(pos, l, min_t, dist)
+    return seed, ggx_direct_shade(vis, l, intensity, n, v, dif, spec, rough, lights.count)
 
 
 # --------------------------------------------------------------- Lambertian
@@ -163,12 +187,9 @@ def sample_lambertian_brdf(seed, n, dif):
 
 def lambertian_direct(seed, shadow_fn, lights, min_t, pos, n, dif):
     """lambertianDirect (MaterialUtils.hlsli:288-307)."""
-    seed, idx = pick_light(seed, lights.count)
-    l, intensity, dist, _ = eval_light(lights, idx, pos)
-    l_dot_n = saturate(dot(n, l))
+    seed, l, intensity, dist = nee_pick(seed, lights, pos)
     vis = shadow_fn(pos, l, min_t, dist)
-    shadow_mult = jnp.where(vis, lights.count.astype(jnp.float32), 0.0)
-    return seed, (shadow_mult * l_dot_n)[..., None] * intensity * dif / M_PI
+    return seed, lambertian_direct_shade(vis, l, intensity, n, dif, lights.count)
 
 
 # ----------------------------------------------------------------- dispatch

@@ -155,6 +155,8 @@ def sample_light(seed, lights):
     """sampleLight (BDPTUtils.hlsli:140-152): uniform pick; direction is a
     cosine lobe around dirW (directional) or an un-normalized ball sample
     (point — reference quirk kept)."""
+    from ..ops.lookup import table_lookup
+
     seed, idx = mat.pick_light(seed, lights.count)
     pack = jnp.concatenate(
         [
@@ -165,7 +167,7 @@ def sample_light(seed, lights):
         ],
         axis=-1,
     )
-    row = pack[idx]
+    row = table_lookup(pack, idx)
     origin = row[..., 0:3]
     intensity = row[..., 3:6]
     light_dir_w = row[..., 6:9]
@@ -346,12 +348,26 @@ def bdpt_pass(
     out = out + jnp.where((valid & has_emissive)[..., None], emis4, 0.0)
 
     # --- estimator 1: path tracing with NEE ---
-    for i in range(d_max if cfg.enable_path_tracing else 0):
-        seed, direct = mat.eval_direct(
-            seed, shadow_fn, lights, cfg.min_t,
-            camera_path[i + 1].pos, camera_path[i + 1].n, camera_path[i + 1].v,
-            camera_path[i + 1].dif, camera_path[i + 1].spec,
-            camera_path[i + 1].rough, cfg.mat_model,
+    # The reference evaluates evalDirect per depth sequentially; here the
+    # light picks run first (same seed sequence), then ALL the NEE shadow
+    # rays go down in ONE batched any-hit query.
+    n_e1 = d_max if cfg.enable_path_tracing else 0
+    e1_picks = []
+    for i in range(n_e1):
+        seed, l, intensity, dist = mat.nee_pick(seed, lights, camera_path[i + 1].pos)
+        e1_picks.append((l, intensity, dist))
+    if n_e1:
+        o_b = jnp.stack([camera_path[i + 1].pos for i in range(n_e1)])
+        d_b = jnp.stack([p[0] for p in e1_picks])
+        t_b = jnp.stack([p[2] for p in e1_picks])
+        vis_b = shadow_fn(o_b, d_b, cfg.min_t, t_b)
+    for i in range(n_e1):
+        l, intensity, _ = e1_picks[i]
+        direct = mat.nee_shade(
+            vis_b[i], l, intensity,
+            camera_path[i + 1].n, camera_path[i + 1].v, camera_path[i + 1].dif,
+            camera_path[i + 1].spec, camera_path[i + 1].rough,
+            lights.count, cfg.mat_model,
         )
         shade = camera_path[i].color * direct
         shade = mat.clamp_vec(shade / (i + 2), cfg.clamp_upper)
@@ -360,29 +376,44 @@ def bdpt_pass(
         out = out + jnp.where(valid[..., None], add, 0.0)
 
     # --- estimator 3: s,t connections (own pixel, sequential saturate) ---
+    # All connection visibility rays batch into ONE any-hit query; the
+    # saturate-accumulate then replays in the reference's iteration order.
+    e3_pairs = []
     for total_len in range(2, (d_max + 1) if cfg.enable_connections else 0):
         for s in range(1, d_max):
             t = total_len - s
             if t < 0 or t > cfg.max_possible_depth:
                 continue  # uint-underflow UB in the reference; mask out
+            e3_pairs.append((total_len, s, t))
+    e3_geom = []
+    for total_len, s, t in e3_pairs:
+        vec = light_path[t].pos - camera_path[s].pos
+        length_ab = jnp.sqrt(jnp.maximum(dot(vec, vec), 1e-30))
+        dir_ab = vec / length_ab[..., None]
+        e3_geom.append((dir_ab, length_ab))
+    if e3_pairs:
+        o_b = jnp.stack([camera_path[s].pos for _, s, _ in e3_pairs])
+        d_b = jnp.stack([g[0] for g in e3_geom])
+        t_b = jnp.stack([g[1] for g in e3_geom])
+        e3_vis = shadow_fn(o_b, d_b, cfg.min_t, t_b)
+    for k, (total_len, s, t) in enumerate(e3_pairs):
+        vis = e3_vis[k]
+        if t >= 1:
             g = _eval_g_without_v(camera_path[s], light_path[t])
-            vec = light_path[t].pos - camera_path[s].pos
-            length_ab = jnp.sqrt(jnp.maximum(dot(vec, vec), 1e-30))
-            dir_ab = vec / length_ab[..., None]
-            vis = shadow_fn(camera_path[s].pos, dir_ab, cfg.min_t, length_ab)
-            if t >= 1:
-                shade = _unweighted_contribution(camera_path, light_path, s, t, g, cfg)
-                w = _connection_weight(camera_path, light_path, s, t, cfg, total_len)
-                w = jnp.asarray(w, jnp.float32)
-                if w.ndim:  # per-lane MIS weight -> broadcast over rgb
-                    w = w[..., None]
-                shade = mat.clamp_vec(shade * w, cfg.clamp_upper)
-                shade = _nan_guard(shade)
-            else:
-                shade = jnp.zeros(shape + (3,), jnp.float32)
-            add = jnp.concatenate([shade, jnp.ones(shape + (1,), jnp.float32)], -1)
-            mask = (valid & vis)[..., None]
-            out = jnp.where(mask, saturate(out + add), out)
+            shade = _unweighted_contribution(camera_path, light_path, s, t, g, cfg)
+            w = _connection_weight(camera_path, light_path, s, t, cfg, total_len)
+            w = jnp.asarray(w, jnp.float32)
+            if w.ndim:  # per-lane MIS weight -> broadcast over rgb
+                w = w[..., None]
+            shade = mat.clamp_vec(shade * w, cfg.clamp_upper)
+            shade = _nan_guard(shade)
+        else:
+            # t == 0: getUnweightedContribution returns 0 but the reference
+            # still saturate-adds alpha 1 when the shadow ray passes
+            shade = jnp.zeros(shape + (3,), jnp.float32)
+        add = jnp.concatenate([shade, jnp.ones(shape + (1,), jnp.float32)], -1)
+        mask = (valid & vis)[..., None]
+        out = jnp.where(mask, saturate(out + add), out)
 
     # --- estimator 2: light tracing splats (deterministic scatter-add) ---
     # TPU scatter-add is ~8x slower with a trailing component axis, so each
@@ -390,16 +421,26 @@ def bdpt_pass(
     splat_ch = [jnp.zeros(height * width, jnp.float32) for _ in range(4)]
     camera_n = normalize(cam.camera_w)
     take_cum = jnp.ones(shape, bool)
-    for i in range(d_max if cfg.enable_light_tracing else 0):
+    n_e2 = d_max if cfg.enable_light_tracing else 0
+    if n_e2:  # one batched any-hit query for all camera-connection rays
+        e2_geom = []
+        for i in range(n_e2):
+            to_cam = cam.pos_w - light_path[i + 1].pos
+            dis = jnp.sqrt(jnp.maximum(dot(to_cam, to_cam), 1e-30))
+            e2_geom.append((to_cam / dis[..., None], dis))
+        e2_vis = shadow_fn(
+            jnp.stack([light_path[i + 1].pos for i in range(n_e2)]),
+            jnp.stack([g[0] for g in e2_geom]),
+            cfg.min_t,
+            jnp.stack([g[1] for g in e2_geom]),
+        )
+    e2_lin, e2_adds = [], [[], [], [], []]
+    for i in range(n_e2):
         take_cum = take_cum & take[i + 1]
         last = light_path[i + 1]
-        to_cam = cam.pos_w - last.pos
-        dis = jnp.sqrt(jnp.maximum(dot(to_cam, to_cam), 1e-30))
-        dir_to_cam = to_cam / dis[..., None]
+        dir_to_cam, dis = e2_geom[i]
         facing = dot(camera_n, dir_to_cam) < 0.0
-        active = valid & take_cum & facing
-        vis = shadow_fn(last.pos, dir_to_cam, cfg.min_t, dis)
-        active = active & vis
+        active = valid & take_cum & facing & e2_vis[i]
         ix, iy = project_dir_to_pixel(cam, dir_to_cam, (width, height), pixel_jitter)
         theta1 = saturate(jnp.abs(dot(dir_to_cam, camera_n)))
         theta2 = saturate(jnp.abs(dot(dir_to_cam, last.n)))
@@ -412,16 +453,17 @@ def bdpt_pass(
         shade = _nan_guard(shade)
         in_range = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
         ok = active & in_range
-        lin = jnp.where(ok, iy * width + ix, height * width).reshape(-1)  # OOB dropped
-        okf = ok.astype(jnp.float32)
-        adds = [
-            jnp.where(ok, shade[..., 0], 0.0).reshape(-1),
-            jnp.where(ok, shade[..., 1], 0.0).reshape(-1),
-            jnp.where(ok, shade[..., 2], 0.0).reshape(-1),
-            okf.reshape(-1),
-        ]
+        e2_lin.append(jnp.where(ok, iy * width + ix, height * width).reshape(-1))
+        e2_adds[0].append(jnp.where(ok, shade[..., 0], 0.0).reshape(-1))
+        e2_adds[1].append(jnp.where(ok, shade[..., 1], 0.0).reshape(-1))
+        e2_adds[2].append(jnp.where(ok, shade[..., 2], 0.0).reshape(-1))
+        e2_adds[3].append(ok.astype(jnp.float32).reshape(-1))
+    if e2_lin:  # 4 flat scatter-adds over all depths at once
+        lin_all = jnp.concatenate(e2_lin)
         for k in range(4):
-            splat_ch[k] = splat_ch[k].at[lin].add(adds[k], mode="drop")
+            splat_ch[k] = splat_ch[k].at[lin_all].add(
+                jnp.concatenate(e2_adds[k]), mode="drop"
+            )
     splat = jnp.stack(splat_ch, -1).reshape(shape + (4,))
     # background pixels wrote (env, 1) before any splats landed (BDPTMain:64);
     # splats then add on top of whatever the target pixel holds.

@@ -64,7 +64,9 @@ def eval_light(lights: LightArray, index, surface_pos):
     get a finite distance (Lights.slang:62-71 + getLightData's
     length(ls.posW - hitPos)).
     """
-    # single packed-row gather (wide rows cost the same as narrow on TPU)
+    from ..ops.lookup import table_lookup
+
+    # single packed-row lookup (one-hot matmul for small tables)
     pack = jnp.concatenate(
         [
             lights.pos_w,                                   # 0:3
@@ -77,7 +79,7 @@ def eval_light(lights: LightArray, index, surface_pos):
         ],
         axis=-1,
     )
-    row = pack[index]
+    row = table_lookup(pack, index)
     lpos = row[..., 0:3]
     ldir = row[..., 3:6]
     linten = row[..., 6:9]
