@@ -30,6 +30,12 @@ from ..scene.types import BVHArrays, GeometryArrays
 
 _BIG = jnp.float32(1e30)
 
+# XLA's SPMD partitioner cannot split pallas_call custom-calls across a
+# device mesh; multi-chip rendering therefore traces with the jnp
+# intersectors (each shard's rows are an independent wavefront anyway).
+# parallel.sharding flips this off while building a sharded step.
+PALLAS_ENABLED = True
+
 
 @struct.dataclass
 class TriSoA:
@@ -292,7 +298,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048):
 
     n_tris = int(np.asarray(tris.v0.shape[0]))
     use_brute = n_tris <= brute_threshold
-    use_pallas = use_brute and jax.default_backend() == "tpu"
+    use_pallas = use_brute and PALLAS_ENABLED and jax.default_backend() == "tpu"
     tri_pack = pack_triangles(tris) if use_pallas else None
 
     def intersect(origin, direction, t_min, t_max=None, closest=True, cull_backface=False):

@@ -221,10 +221,14 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
     """
     from ..accel.pallas_shaded import intersect_shaded, pack_shaded_triangles
 
+    from ..accel import traverse as traverse_mod
+
     n_tris = int(baked.tris.v0.shape[0])
     on_tpu = jax.default_backend() == "tpu"
     use_fused = (n_tris <= brute_threshold) if force_fused is None else force_fused
-    use_fused = use_fused and (on_tpu or force_fused)
+    use_fused = use_fused and (on_tpu or force_fused) and (
+        traverse_mod.PALLAS_ENABLED or force_fused
+    )
     intersect = baked.intersector(brute_threshold)
 
     if use_fused:

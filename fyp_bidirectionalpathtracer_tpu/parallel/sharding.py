@@ -73,7 +73,20 @@ def sharded_render_step(frame_fn, mesh: Mesh, height: int):
             return replicated(mesh)
         return jax.tree_util.tree_map(leaf, tree)
 
-    jitted = jax.jit(frame_fn)
+    from ..accel import traverse as traverse_mod
+
+    def traced(*args):
+        # Pallas custom-calls can't be SPMD-partitioned; trace the sharded
+        # step with the jnp intersectors (each row-shard is an independent
+        # wavefront, so nothing is lost except the single-chip kernels).
+        prev = traverse_mod.PALLAS_ENABLED
+        traverse_mod.PALLAS_ENABLED = False
+        try:
+            return frame_fn(*args)
+        finally:
+            traverse_mod.PALLAS_ENABLED = prev
+
+    jitted = jax.jit(traced)
 
     def step(baked, camera, accum, bmfr_state, gbuf_frame, bdpt_frame, reset):
         baked = replicate_tree(baked, mesh)
