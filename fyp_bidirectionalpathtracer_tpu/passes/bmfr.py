@@ -465,7 +465,8 @@ def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig):
     albedo = channels["MaterialDiffuse"]
     noisy = channels["Accumulated"]
 
-    if not (cfg.preprocess or cfg.regression or cfg.postprocess):
+    # mDoDenoise master gate (DenoisePass.cpp:158): disabled -> plain blit
+    if not cfg.enabled or not (cfg.preprocess or cfg.regression or cfg.postprocess):
         return state, noisy
 
     accept = jnp.zeros(noisy.shape[:2], jnp.int32)

@@ -101,9 +101,8 @@ def main(argv=None) -> dict:
         gbuffer=GBufferConfig(use_thin_lens=args.thin_lens),
         accumulate=AccumulateConfig(),
         bmfr=BMFRConfig(
-            preprocess=args.denoise,
-            regression=args.denoise and args.regression,
-            postprocess=args.denoise,
+            enabled=args.denoise,
+            regression=args.regression,
             half_screen_debug=not args.full_screen_denoise,
         ),
         tone_map_operator=args.tonemap,

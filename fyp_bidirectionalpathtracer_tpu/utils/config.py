@@ -60,6 +60,9 @@ class BMFRConfig:
     """DenoisePass toggles + constants (DenoisePass.h:71-75, regressionCP
     defines, preprocess/postprocess alphas)."""
 
+    # master switch; the reference ships with mDoDenoise = false
+    # (DenoisePass.h:70) and the GUI enables it
+    enabled: bool = False
     preprocess: bool = True
     regression: bool = False
     postprocess: bool = True

@@ -61,3 +61,16 @@ def test_convergence_toward_high_spp(baked):
     p32 = psnr(np.asarray(r.channels["Accumulated"])[..., :3], ref)
     assert p32 > p4  # converging
     assert p32 > 25.0
+
+
+def test_golden_with_bmfr_denoise(baked):
+    """Full pipeline with the denoiser enabled (regression stage on)."""
+    cfg = RenderConfig(width=SIZE, height=SIZE)
+    cfg = cfg.with_(
+        bmfr=cfg.bmfr.__class__(enabled=True, regression=True)
+    )
+    r = Renderer(baked, cfg)
+    r.render(6)
+    out = np.asarray(r.channels["PipelineOutput"])
+    assert np.isfinite(out).all()
+    golden_compare("cornell_bmfr_6f_64", r.display())
