@@ -458,13 +458,20 @@ def bdpt_pass(
         e2_adds[1].append(jnp.where(ok, shade[..., 1], 0.0).reshape(-1))
         e2_adds[2].append(jnp.where(ok, shade[..., 2], 0.0).reshape(-1))
         e2_adds[3].append(ok.astype(jnp.float32).reshape(-1))
-    if e2_lin:  # 4 flat scatter-adds over all depths at once
+    if e2_lin:
+        from ..ops import splat as splat_mod
+
         lin_all = jnp.concatenate(e2_lin)
-        for k in range(4):
-            splat_ch[k] = splat_ch[k].at[lin_all].add(
-                jnp.concatenate(e2_adds[k]), mode="drop"
-            )
-    splat = jnp.stack(splat_ch, -1).reshape(shape + (4,))
+        rgb_all = jnp.stack([jnp.concatenate(e2_adds[k]) for k in range(3)], -1)
+        a_all = jnp.concatenate(e2_adds[3])
+        fn = (
+            splat_mod.scatter_add_rgba_sorted
+            if cfg.splat_mode == "sorted"
+            else splat_mod.scatter_add_rgba_direct
+        )
+        splat = fn(lin_all, rgb_all, a_all, height * width).reshape(shape + (4,))
+    else:
+        splat = jnp.stack(splat_ch, -1).reshape(shape + (4,))
     # background pixels wrote (env, 1) before any splats landed (BDPTMain:64);
     # splats then add on top of whatever the target pixel holds.
     result = jnp.where(valid[..., None], out, bg)

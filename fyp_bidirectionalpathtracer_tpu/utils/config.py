@@ -36,6 +36,9 @@ class BDPTConfig:
     enable_path_tracing: bool = True    # estimator 1 (NEE path tracing)
     enable_light_tracing: bool = True   # estimator 2 (camera splats)
     enable_connections: bool = True     # estimator 3 (s,t connections)
+    # splat accumulation strategy: 'direct' scatter-adds, or 'sorted'
+    # (sort + segment-sum + sorted scatter; see ops.splat)
+    splat_mode: str = "direct"
 
 
 @dataclass(frozen=True)

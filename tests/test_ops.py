@@ -113,3 +113,23 @@ def test_clamp_vec():
     np.testing.assert_allclose(
         np.asarray(materials.clamp_vec(v, 2.0)), [[0.0, 0.5, 2.0]]
     )
+
+
+def test_splat_modes_agree():
+    from fyp_bidirectionalpathtracer_tpu.ops.splat import (
+        scatter_add_rgba_direct,
+        scatter_add_rgba_sorted,
+    )
+
+    rs = np.random.RandomState(0)
+    n = 1000
+    u = 3000
+    lin = jnp.asarray(rs.randint(0, n + 200, u), jnp.int32)  # some dropped
+    rgb = jnp.asarray(np.abs(rs.normal(size=(u, 3))), jnp.float32)
+    alpha = jnp.ones((u,), jnp.float32)
+    d = np.asarray(scatter_add_rgba_direct(lin, rgb, alpha, n))
+    s = np.asarray(scatter_add_rgba_sorted(lin, rgb, alpha, n))
+    np.testing.assert_allclose(d, s, rtol=1e-3, atol=1e-3)  # f32 sum order
+    # dropped updates contributed nothing
+    total_kept = float(alpha[np.asarray(lin) < n].sum())
+    assert float(d[:, 3].sum()) == total_kept
