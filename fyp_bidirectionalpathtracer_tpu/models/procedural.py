@@ -220,7 +220,7 @@ def checkerboard(res: int = 64, c0=(0.9, 0.9, 0.9), c1=(0.3, 0.3, 0.35), tiles: 
     return np.concatenate([img, np.ones((res, res, 1), np.float32)], -1)
 
 
-def textured_room(light_intensity=(20.0, 20.0, 20.0)) -> BuiltScene:
+def textured_room(light_intensity=(4.5, 4.2, 3.8)) -> BuiltScene:
     """A pink-room-like textured interior: checkered floor, tinted walls with
     a second texture, one emissive panel material, a sphere and a box — a
     stand-in exercising the texture-atlas sampling path (the reference's FBX
@@ -231,7 +231,7 @@ def textured_room(light_intensity=(20.0, 20.0, 20.0)) -> BuiltScene:
     )
     wall_mat = MaterialDesc(
         "wall", base_color=(0.9, 0.6, 0.6, 1.0),
-        base_color_image=checkerboard(64, (0.95, 0.7, 0.7), (0.85, 0.55, 0.55), 4),
+        base_color_image=checkerboard(64, (0.85, 0.55, 0.55), (0.55, 0.3, 0.32), 4),
     )
     shiny = MaterialDesc("shiny", base_color=(0.4, 0.4, 0.45, 1.0),
                          specular=(0.6, 0.6, 0.6, 0.85))

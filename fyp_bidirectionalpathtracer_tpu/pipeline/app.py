@@ -58,13 +58,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def load_scene(name: str):
-    from ..models.procedural import cornell_box, many_light_scene
+    from ..models.procedural import cornell_box, many_light_scene, textured_room
     from ..scene.scene import Scene
 
     if name == "cornell":
         return Scene.from_built(cornell_box())
     if name == "many-lights":
         return Scene.from_built(many_light_scene())
+    if name == "textured":
+        return Scene.from_built(textured_room())
     if name.endswith(".fscene"):
         from ..scene.fscene import load_fscene
 
