@@ -71,8 +71,11 @@ def bw_intersect_chunk(o3, d3, tri_ref, sl, tmin, tmax, cull_backface: bool,
     BW pack; sl = lane slice of the chunk.  Returns (valid, t, u, v) tiles
     [B, TRI_TILE].
     """
+    # HIGHEST precision: default MXU matmuls round f32 inputs to bf16, which
+    # visibly corrupts intersection geometry (hit positions off by ~1e-3).
     mm = lambda a, b: jax.lax.dot_general(  # noqa: E731
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     nmat = tri_ref[row_base + 0:row_base + 3, sl]      # [3, T]
     nv0 = tri_ref[row_base + 3:row_base + 4, sl]       # [1, T]
@@ -142,6 +145,7 @@ def _kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, t_ref, tri_id_ref,
         fetched = fetched + jax.lax.dot_general(
             pick, tri_ref[0:12, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     dot_rows = lambda r, a: (  # noqa: E731
         r[:, 0:1] * a[:, 0:1] + r[:, 1:2] * a[:, 1:2] + r[:, 2:3] * a[:, 2:3]

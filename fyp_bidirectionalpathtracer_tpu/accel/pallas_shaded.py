@@ -129,6 +129,7 @@ def _kernel(o_ref, d_ref, tmin_ref, tmax_ref, tri_ref, out_ref,
         fetched = fetched + jax.lax.dot_general(
             pick, block, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact one-hot fetch
         )
     # u = (r1.o - r1.v0) + t*(r1.d); v likewise (Baldwin-Weber affine form)
     r1_ = fetched[:, 4:7]

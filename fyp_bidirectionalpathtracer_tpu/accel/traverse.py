@@ -294,20 +294,22 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048):
     touches HBM; on other backends the jnp brute force is used.  Large
     scenes take the threaded-BVH lockstep traversal.
     """
-    from .pallas_intersect import intersect_pallas, occluded_pallas, pack_triangles
+    from .pallas_intersect import intersect_pallas, pack_triangles
+    from .pallas_lane import occluded_lanes, pack_tris_lane
 
     n_tris = int(np.asarray(tris.v0.shape[0]))
     use_brute = n_tris <= brute_threshold
     use_pallas = use_brute and PALLAS_ENABLED and jax.default_backend() == "tpu"
     tri_pack = pack_triangles(tris) if use_pallas else None
+    tri_pack_lane = pack_tris_lane(tris) if use_pallas else None
 
     def intersect(origin, direction, t_min, t_max=None, closest=True, cull_backface=False):
         if use_pallas:
             if not closest and not cull_backface:
-                # shadow rays: cheap any-hit kernel, no closest bookkeeping
-                occ = occluded_pallas(
+                # shadow rays: any-hit kernel, ray-in-lanes layout
+                occ = occluded_lanes(
                     tris, origin, direction, t_min, t_max,
-                    tri_pack=tri_pack, interpret=False,
+                    tri_pack=tri_pack_lane, interpret=False,
                 )
                 zero = jnp.zeros(occ.shape, jnp.float32)
                 return HitRecord(

@@ -232,6 +232,23 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
     intersect = baked.intersector(brute_threshold)
 
     if use_fused:
+        if on_tpu:
+            from ..accel.pallas_lane import intersect_shaded_lanes, pack_shaded_tris_lane
+
+            pack = pack_shaded_tris_lane(baked.tris, baked.data.materials)
+
+            def trace(origin, direction, t_min, view_origin, cull_backface=False):
+                hit, fields = intersect_shaded_lanes(
+                    baked.tris, pack, origin, direction, t_min,
+                    cull_backface=cull_backface, interpret=False,
+                )
+                sd = shading_from_fields(
+                    fields, baked.data.textures, hit, origin, direction, view_origin
+                )
+                return hit, sd
+
+            return trace
+
         pack = pack_shaded_triangles(baked.tris, baked.data.materials)
 
         def trace(origin, direction, t_min, view_origin, cull_backface=False):
