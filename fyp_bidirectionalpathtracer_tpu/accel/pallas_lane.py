@@ -34,8 +34,27 @@ from .pallas_intersect import pack_triangles as pack_bw_rows
 
 S = 8            # lane-rows per grid cell (8 x 128 = 1024 rays)
 LANE = 128
-TRI_CHUNK = 256  # triangle sublanes per inner tile
+TRI_CHUNK = 256  # max triangle sublanes per inner tile
+_SUBLANE = 8     # f32 sublane granularity — pads round up to this
 _BIG = 1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def tri_pad_rows(t: int) -> int:
+    """Rows a [T_pad, *] lane pack needs: multiple of 8 sublanes, with only
+    the LAST chunk partial (small scenes pay for T rounded to 8, not 256)."""
+    return max(_SUBLANE, _round_up(t, _SUBLANE))
+
+
+def chunk_bounds(t_pad: int):
+    """Static (start, size) tile bounds covering [0, t_pad) in <=256-row
+    slices; each size is a multiple of 8 so every tile is VPU-legal."""
+    return tuple(
+        (s, min(TRI_CHUNK, t_pad - s)) for s in range(0, t_pad, TRI_CHUNK)
+    )
 
 OUT_W = 32  # same field table as pallas_shaded
 
@@ -48,7 +67,7 @@ def pack_tris_lane(tris: TriSoA):
     """[T_pad, 16] Baldwin-Weber rows-per-triangle (sublane-major)."""
     rows = pack_bw_rows(tris)  # [16, T_pad_lane]
     t = tris.v0.shape[0]
-    t_pad = max(TRI_CHUNK, ((t + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK)
+    t_pad = tri_pad_rows(t)
     out = rows.T  # [T_pad_lane, 16]
     if out.shape[0] < t_pad:
         out = jnp.pad(out, ((0, t_pad - out.shape[0]), (0, 0)))
@@ -60,7 +79,7 @@ def pack_shaded_tris_lane(tris: TriSoA, materials: MaterialArray):
     from .pallas_shaded import pack_shaded_triangles
 
     pack = pack_shaded_triangles(tris, materials)  # [48, T_pad_lane]
-    t_pad = max(TRI_CHUNK, ((pack.shape[1] + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK)
+    t_pad = tri_pad_rows(int(tris.v0.shape[0]))
     out = pack.T
     if out.shape[0] < t_pad:
         out = jnp.pad(out, ((0, t_pad - out.shape[0]), (0, 0)))
@@ -113,7 +132,7 @@ def _pair_test(tri_ref, sl, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface):
     return valid, t
 
 
-def _occlusion_kernel(r_ref, tri_ref, out_ref, *, n_chunks, n_tris):
+def _occlusion_kernel(r_ref, tri_ref, out_ref, *, bounds, n_tris):
     rows = []
     for s in range(S):
         ox = r_ref[0, s:s + 1, :]
@@ -125,23 +144,23 @@ def _occlusion_kernel(r_ref, tri_ref, out_ref, *, n_chunks, n_tris):
         tmin = r_ref[6, s:s + 1, :]
         tmax = r_ref[7, s:s + 1, :]
         hit = jnp.zeros((1, LANE), jnp.float32)
-        for c in range(n_chunks):
-            sl = slice(c * TRI_CHUNK, (c + 1) * TRI_CHUNK)
+        for start, size in bounds:
+            sl = slice(start, start + size)
             valid, _ = _pair_test(
                 tri_ref, sl, ox, oy, oz, dx, dy, dz, tmin, tmax, False
             )
-            sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, LANE), 0)
-            valid = valid & ((sub + c * TRI_CHUNK) < n_tris)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (size, LANE), 0)
+            valid = valid & ((sub + start) < n_tris)
             hit = hit + jnp.sum(valid.astype(jnp.float32), axis=0, keepdims=True)
         rows.append(hit)
     out_ref[...] = jnp.concatenate(rows, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "n_tris", "interpret"))
-def _launch_occlusion(rows, tri_pack, n_chunks, n_tris, interpret):
+@functools.partial(jax.jit, static_argnames=("bounds", "n_tris", "interpret"))
+def _launch_occlusion(rows, tri_pack, bounds, n_tris, interpret):
     n_cols = rows.shape[1]
     return pl.pallas_call(
-        functools.partial(_occlusion_kernel, n_chunks=n_chunks, n_tris=n_tris),
+        functools.partial(_occlusion_kernel, bounds=bounds, n_tris=n_tris),
         grid=(n_cols // S,),
         in_specs=[
             pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -162,12 +181,12 @@ def occluded_lanes(tris, origin, direction, t_min, t_max=None, tri_pack=None,
     rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
     if tri_pack is None:
         tri_pack = pack_tris_lane(tris)
-    n_chunks = tri_pack.shape[0] // TRI_CHUNK
-    hits = _launch_occlusion(rows, tri_pack, n_chunks, int(tris.v0.shape[0]), interpret)
+    bounds = chunk_bounds(tri_pack.shape[0])
+    hits = _launch_occlusion(rows, tri_pack, bounds, int(tris.v0.shape[0]), interpret)
     return (hits.reshape(-1)[:n] > 0).reshape(shape)
 
 
-def _shaded_kernel(r_ref, tri_ref, out_ref, *, n_chunks, n_tris, cull_backface):
+def _shaded_kernel(r_ref, tri_ref, out_ref, *, bounds, n_tris, cull_backface):
     per_row = {"t": [], "id": [], "u": [], "v": []}
     attr_rows = []
     for s in range(S):
@@ -181,13 +200,13 @@ def _shaded_kernel(r_ref, tri_ref, out_ref, *, n_chunks, n_tris, cull_backface):
         tmax = r_ref[7, s:s + 1, :]
         best_t = tmax * jnp.ones((1, LANE), jnp.float32)
         best_id = jnp.full((1, LANE), -1, jnp.int32)
-        for c in range(n_chunks):
-            sl = slice(c * TRI_CHUNK, (c + 1) * TRI_CHUNK)
+        for start, size in bounds:
+            sl = slice(start, start + size)
             valid, t = _pair_test(
                 tri_ref, sl, ox, oy, oz, dx, dy, dz, tmin, best_t, cull_backface
             )
-            sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, LANE), 0)
-            tri_ids = sub + c * TRI_CHUNK
+            sub = jax.lax.broadcasted_iota(jnp.int32, (size, LANE), 0)
+            tri_ids = sub + start
             valid = valid & (tri_ids < n_tris)
             t_m = jnp.where(valid, t, _BIG)
             col_min = jnp.min(t_m, axis=0, keepdims=True)          # [1,128]
@@ -198,17 +217,17 @@ def _shaded_kernel(r_ref, tri_ref, out_ref, *, n_chunks, n_tris, cull_backface):
             pick = (sub_f == first) & is_min
             new_id = jnp.sum(
                 jnp.where(pick, tri_ids, 0), axis=0, keepdims=True
-            ) + c * 0
+            )
             best_id = jnp.where(improved, new_id, best_id)
             best_t = jnp.where(improved, col_min, best_t)
 
         # winner fetch: one-hot [T,128] per chunk, rows 0..44 via MXU
         fetched = jnp.zeros((_ATTR_HI, LANE), jnp.float32)
-        for c in range(n_chunks):
-            sl = slice(c * TRI_CHUNK, (c + 1) * TRI_CHUNK)
-            sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, LANE), 0)
-            local = best_id - c * TRI_CHUNK
-            pick = ((sub == local) & (local >= 0) & (local < TRI_CHUNK)).astype(
+        for start, size in bounds:
+            sl = slice(start, start + size)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (size, LANE), 0)
+            local = best_id - start
+            pick = ((sub == local) & (local >= 0) & (local < size)).astype(
                 jnp.float32
             )
             block = tri_ref[sl, 0:_ATTR_HI]  # [T_chunk, 45]
@@ -259,13 +278,13 @@ def _shaded_kernel(r_ref, tri_ref, out_ref, *, n_chunks, n_tris, cull_backface):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_chunks", "n_tris", "cull_backface", "interpret")
+    jax.jit, static_argnames=("bounds", "n_tris", "cull_backface", "interpret")
 )
-def _launch_shaded(rows, tri_pack, n_chunks, n_tris, cull_backface, interpret):
+def _launch_shaded(rows, tri_pack, bounds, n_tris, cull_backface, interpret):
     n_cols = rows.shape[1]
     return pl.pallas_call(
         functools.partial(
-            _shaded_kernel, n_chunks=n_chunks, n_tris=n_tris,
+            _shaded_kernel, bounds=bounds, n_tris=n_tris,
             cull_backface=cull_backface,
         ),
         grid=(n_cols // S,),
@@ -295,9 +314,9 @@ def intersect_shaded_lanes(
         interpret = jax.default_backend() != "tpu"
     shape = origin.shape[:-1]
     rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
-    n_chunks = tri_pack.shape[0] // TRI_CHUNK
+    bounds = chunk_bounds(tri_pack.shape[0])
     out = _launch_shaded(
-        rows, tri_pack, n_chunks, int(tris.v0.shape[0]), cull_backface, interpret
+        rows, tri_pack, bounds, int(tris.v0.shape[0]), cull_backface, interpret
     )  # [OUT_W, n_cols, 128]
     fields = out.reshape(OUT_W, -1)[:, :n].T.reshape(shape + (OUT_W,))
     tri = fields[..., 1].astype(jnp.int32)
