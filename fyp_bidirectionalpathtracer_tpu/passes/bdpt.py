@@ -464,12 +464,10 @@ def bdpt_pass(
         lin_all = jnp.concatenate(e2_lin)
         rgb_all = jnp.stack([jnp.concatenate(e2_adds[k]) for k in range(3)], -1)
         a_all = jnp.concatenate(e2_adds[3])
-        fn = (
-            splat_mod.scatter_add_rgba_sorted
-            if cfg.splat_mode == "sorted"
-            else splat_mod.scatter_add_rgba_direct
-        )
-        splat = fn(lin_all, rgb_all, a_all, height * width).reshape(shape + (4,))
+        splat = splat_mod.scatter_add_rgba(
+            cfg.splat_mode, lin_all, rgb_all, a_all, height * width,
+            alpha_is_count=True,
+        ).reshape(shape + (4,))
     else:
         splat = jnp.stack(splat_ch, -1).reshape(shape + (4,))
     # background pixels wrote (env, 1) before any splats landed (BDPTMain:64);

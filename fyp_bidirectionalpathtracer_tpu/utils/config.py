@@ -36,9 +36,17 @@ class BDPTConfig:
     enable_path_tracing: bool = True    # estimator 1 (NEE path tracing)
     enable_light_tracing: bool = True   # estimator 2 (camera splats)
     enable_connections: bool = True     # estimator 3 (s,t connections)
-    # splat accumulation strategy: 'direct' scatter-adds, or 'sorted'
-    # (sort + segment-sum + sorted scatter; see ops.splat)
-    splat_mode: str = "direct"
+    # splat accumulation strategy (see ops.splat.MODES): 'auto' = packed on
+    # TPU / direct elsewhere; 'direct' 4 flat scatter-adds, 'sorted'
+    # sort+segment-sum+per-channel sorted scatter, 'packed' sort+segment-sum
+    # +one i32 scatter-max+one wide gather, 'complex' two complex64
+    # scatter-adds (measured 10x slower on TPU; kept for documentation)
+    splat_mode: str = "auto"
+    # whole-frame megakernel (accel.pallas_frame): 'auto' uses it on TPU for
+    # scenes in its scope (untextured, constant env, pinhole, uniform
+    # weights), 'on' forces it (interpret mode off-TPU; tests), 'off' always
+    # uses the per-bounce wavefront.
+    megakernel: str = "auto"
 
 
 @dataclass(frozen=True)

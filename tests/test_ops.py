@@ -117,8 +117,8 @@ def test_clamp_vec():
 
 def test_splat_modes_agree():
     from fyp_bidirectionalpathtracer_tpu.ops.splat import (
+        MODES,
         scatter_add_rgba_direct,
-        scatter_add_rgba_sorted,
     )
 
     rs = np.random.RandomState(0)
@@ -128,8 +128,18 @@ def test_splat_modes_agree():
     rgb = jnp.asarray(np.abs(rs.normal(size=(u, 3))), jnp.float32)
     alpha = jnp.ones((u,), jnp.float32)
     d = np.asarray(scatter_add_rgba_direct(lin, rgb, alpha, n))
-    s = np.asarray(scatter_add_rgba_sorted(lin, rgb, alpha, n))
-    np.testing.assert_allclose(d, s, rtol=1e-3, atol=1e-3)  # f32 sum order
+    for mode, fn in MODES.items():
+        s = np.asarray(fn(lin, rgb, alpha, n))
+        np.testing.assert_allclose(d, s, rtol=1e-3, atol=1e-3,
+                                   err_msg=mode)  # f32 sum order
+    from fyp_bidirectionalpathtracer_tpu.ops.splat import scatter_add_rgba
+
+    p = np.asarray(scatter_add_rgba("packed", lin, rgb, alpha, n,
+                                    alpha_is_count=True))
+    np.testing.assert_allclose(d, p, rtol=1e-3, atol=1e-3)
+    au = np.asarray(scatter_add_rgba("auto", lin, rgb, alpha, n,
+                                     alpha_is_count=True))
+    np.testing.assert_allclose(d, au, rtol=1e-3, atol=1e-3)
     # dropped updates contributed nothing
     total_kept = float(alpha[np.asarray(lin) < n].sum())
     assert float(d[:, 3].sum()) == total_kept
