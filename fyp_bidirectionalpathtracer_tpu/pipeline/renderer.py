@@ -56,34 +56,48 @@ def render_frame_fn(
 ):
     """One full frame (jittable; cfg static). Returns (channels, accum, bmfr,
     raw_bdpt)."""
+    from ..accel.pallas_frame import render_frame_megakernel, supports_megakernel
     from ..ops.shading import make_shaded_tracer
 
     scene = baked.with_camera(camera)
-    intersect = scene.intersector()
-    trace = make_shaded_tracer(scene)
-
     jitter = gbuffer_mod.pixel_jitter_for_frame(bdpt_frame, cfg.gbuffer.jitter_mode)
-    lens_radius = (
-        cfg.gbuffer.focal_length_gui / (2.0 * cfg.gbuffer.f_stop)
-        if cfg.gbuffer.use_thin_lens
-        else 0.0
-    )
-    channels = gbuffer_mod.ray_traced_gbuffer(
-        scene,
-        trace,
-        cfg.width,
-        cfg.height,
-        gbuf_frame,
-        jitter,
-        use_thin_lens=cfg.gbuffer.use_thin_lens,
-        lens_radius=lens_radius,
-        focal_len=cfg.gbuffer.focal_length_gui,
-    )
 
-    frame_img = bdpt_mod.bdpt_pass(
-        scene, intersect, channels, bdpt_frame, jitter, cfg.bdpt, trace=trace
+    mk = cfg.bdpt.megakernel
+    use_mk = (
+        mk != "off"
+        and supports_megakernel(scene, cfg)
+        and (mk == "on" or jax.default_backend() == "tpu")
     )
-    channels["BDPT"] = frame_img
+    if use_mk:
+        channels, frame_img = render_frame_megakernel(
+            scene, cfg.width, cfg.height, bdpt_frame, jitter, cfg,
+            interpret=None if mk == "auto" else jax.default_backend() != "tpu",
+        )
+    else:
+        intersect = scene.intersector()
+        trace = make_shaded_tracer(scene)
+
+        lens_radius = (
+            cfg.gbuffer.focal_length_gui / (2.0 * cfg.gbuffer.f_stop)
+            if cfg.gbuffer.use_thin_lens
+            else 0.0
+        )
+        channels = gbuffer_mod.ray_traced_gbuffer(
+            scene,
+            trace,
+            cfg.width,
+            cfg.height,
+            gbuf_frame,
+            jitter,
+            use_thin_lens=cfg.gbuffer.use_thin_lens,
+            lens_radius=lens_radius,
+            focal_len=cfg.gbuffer.focal_length_gui,
+        )
+
+        frame_img = bdpt_mod.bdpt_pass(
+            scene, intersect, channels, bdpt_frame, jitter, cfg.bdpt, trace=trace
+        )
+        channels["BDPT"] = frame_img
 
     accum, accum_img = accumulate(
         accum, frame_img, cfg.accumulate.max_accum_count, reset=reset
