@@ -286,22 +286,69 @@ def intersect_bvh(
     )
 
 
-def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048):
-    """Pick the dense or BVH path once, at trace (host) time, by scene size.
+CLUSTER_THRESHOLD = 32768  # shaded cluster pack (192 B/tri) ~6 MB of VMEM
 
-    Small scenes take the Pallas dense kernel (accel.pallas_intersect) on
-    TPU — every triangle stays in VMEM and the [rays x tris] tile never
-    touches HBM; on other backends the jnp brute force is used.  Large
-    scenes take the threaded-BVH lockstep traversal.
+
+def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
+                     materials=None, cluster_threshold: int = CLUSTER_THRESHOLD):
+    """Pick the intersection path once, at trace (host) time, by scene size.
+
+    Small scenes take the dense Pallas kernels on TPU — every triangle stays
+    in VMEM and the [rays x tris] tile never touches HBM; on other backends
+    the jnp brute force is used.  Medium scenes (brute_threshold,
+    cluster_threshold] take the two-level clustered kernels
+    (accel.pallas_cluster): per-cluster AABB culling in-kernel, dense pair
+    tests only for clusters any ray overlaps.  Larger scenes fall back to
+    the threaded-BVH lockstep traversal (jnp).
     """
     from .pallas_intersect import intersect_pallas, pack_triangles
     from .pallas_lane import occluded_lanes, pack_tris_lane
 
     n_tris = int(np.asarray(tris.v0.shape[0]))
+    on_tpu = PALLAS_ENABLED and jax.default_backend() == "tpu"
     use_brute = n_tris <= brute_threshold
-    use_pallas = use_brute and PALLAS_ENABLED and jax.default_backend() == "tpu"
+    use_pallas = use_brute and on_tpu
+    use_cluster = (not use_brute) and n_tris <= cluster_threshold and on_tpu
     tri_pack = pack_triangles(tris) if use_pallas else None
     tri_pack_lane = pack_tris_lane(tris) if use_pallas else None
+
+    if use_cluster:
+        from . import pallas_cluster as pc
+
+        aabbs = pc.pack_cluster_aabbs(tris)
+        occ_pack = pc.pack_tris_cluster(tris)
+        shaded_pack = (
+            pc.pack_shaded_tris_cluster(tris, materials)
+            if materials is not None
+            else None
+        )
+
+        def intersect(origin, direction, t_min, t_max=None, closest=True,
+                      cull_backface=False):
+            if not closest:
+                occ = pc.occluded_clusters(
+                    tris, origin, direction, t_min, t_max,
+                    tri_pack=occ_pack, aabbs=aabbs, interpret=False,
+                )
+                zero = jnp.zeros(occ.shape, jnp.float32)
+                return HitRecord(
+                    t=jnp.where(occ, zero, _BIG),
+                    tri=jnp.where(occ, 0, -1),
+                    bary_u=zero,
+                    bary_v=zero,
+                )
+            if shaded_pack is not None:
+                hit, _ = pc.intersect_shaded_clusters(
+                    tris, shaded_pack, aabbs, origin, direction, t_min,
+                    t_max, cull_backface, interpret=False,
+                )
+                return hit
+            return intersect_bvh(
+                bvh, tris, origin, direction, t_min, t_max, closest,
+                cull_backface,
+            )
+
+        return intersect
 
     def intersect(origin, direction, t_min, t_max=None, closest=True, cull_backface=False):
         if use_pallas:

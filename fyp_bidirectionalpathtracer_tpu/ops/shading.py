@@ -229,7 +229,35 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
     use_fused = use_fused and (on_tpu or force_fused) and (
         traverse_mod.PALLAS_ENABLED or force_fused
     )
+    use_cluster = (
+        not use_fused
+        and n_tris <= traverse_mod.CLUSTER_THRESHOLD
+        and on_tpu
+        and traverse_mod.PALLAS_ENABLED
+    )
     intersect = baked.intersector(brute_threshold)
+
+    if use_cluster:
+        from ..accel.pallas_cluster import (
+            intersect_shaded_clusters,
+            pack_cluster_aabbs,
+            pack_shaded_tris_cluster,
+        )
+
+        pack = pack_shaded_tris_cluster(baked.tris, baked.data.materials)
+        aabbs = pack_cluster_aabbs(baked.tris)
+
+        def trace(origin, direction, t_min, view_origin, cull_backface=False):
+            hit, fields = intersect_shaded_clusters(
+                baked.tris, pack, aabbs, origin, direction, t_min,
+                cull_backface=cull_backface, interpret=False,
+            )
+            sd = shading_from_fields(
+                fields, baked.data.textures, hit, origin, direction, view_origin
+            )
+            return hit, sd
+
+        return trace
 
     if use_fused:
         if on_tpu:

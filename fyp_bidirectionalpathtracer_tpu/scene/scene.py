@@ -236,7 +236,10 @@ class BakedScene:
     tris: TriSoA
 
     def intersector(self, brute_threshold: int = 512):
-        return make_intersector(self.data.bvh, self.tris, brute_threshold)
+        return make_intersector(
+            self.data.bvh, self.tris, brute_threshold,
+            materials=self.data.materials,
+        )
 
     def with_camera(self, cam) -> "BakedScene":
         out = BakedScene(data=self.data.replace(camera=cam), tris=self.tris)

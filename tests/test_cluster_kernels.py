@@ -1,0 +1,109 @@
+"""Equivalence tests for the two-level clustered kernels
+(accel/pallas_cluster.py) against brute force / lane kernels (interpret
+mode, CPU).  Uses a multi-cluster scene (many icospheres) so the AABB
+culling path actually skips clusters, plus the small-cluster edge case
+(ck > n_tris)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fyp_bidirectionalpathtracer_tpu.accel import pallas_cluster as pc
+from fyp_bidirectionalpathtracer_tpu.accel import pallas_lane as lane
+from fyp_bidirectionalpathtracer_tpu.accel.traverse import intersect_brute
+from fyp_bidirectionalpathtracer_tpu.models.procedural import (
+    MaterialDesc,
+    cornell_box,
+    icosphere,
+)
+from fyp_bidirectionalpathtracer_tpu.scene.scene import Scene
+
+
+@pytest.fixture(scope="module")
+def spheres():
+    """~2.5k-triangle scene: a 4x3 grid of icospheres (each ~320 tris after
+    1 subdiv x 80? -> subdivisions=1 gives 80 tris; use 2 -> 320)."""
+    s = Scene()
+    s.materials = [
+        MaterialDesc(base_color=(0.8, 0.3, 0.3, 1.0)),
+        MaterialDesc(base_color=(0.3, 0.8, 0.3, 1.0), specular=(0, 0.4, 0.6, 0)),
+    ]
+    for i in range(4):
+        for j in range(2):
+            s.meshes.append(
+                icosphere(
+                    (i * 1.5, j * 1.5, 2.0 + 0.3 * ((i + j) % 3)),
+                    0.5,
+                    (i + j) % 2,
+                    subdivisions=2,
+                )
+            )
+    s.lights = [{"type": "point", "pos": (2.0, 4.0, -2.0),
+                 "intensity": (10.0, 10.0, 10.0)}]
+    return s.apply_default_fixups().bake()
+
+
+def _rays(n, seed=0, spread=4.0):
+    rs = np.random.RandomState(seed)
+    o = jnp.asarray(rs.uniform(-1.0, spread, (n, 3)).astype(np.float32))
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+def test_cluster_occlusion_matches_brute(spheres):
+    n_tris = int(spheres.tris.v0.shape[0])
+    assert n_tris > pc.CK, n_tris  # actually multi-cluster
+    o, d = _rays(600)
+    tmax = jnp.full((600,), 3.0)
+    occ = pc.occluded_clusters(spheres.tris, o, d, 1e-3, t_max=tmax)
+    hb = intersect_brute(spheres.tris, o, d, 1e-3, t_max=tmax)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(hb.hit))
+
+
+def test_cluster_shaded_matches_brute(spheres):
+    o, d = _rays(600, seed=2)
+    tp = pc.pack_shaded_tris_cluster(spheres.tris, spheres.data.materials)
+    ab = pc.pack_cluster_aabbs(spheres.tris)
+    h1, f1 = pc.intersect_shaded_clusters(spheres.tris, tp, ab, o, d, 1e-3)
+    hb = intersect_brute(spheres.tris, o, d, 1e-3)
+    tri0, tri1 = np.asarray(hb.tri), np.asarray(h1.tri)
+    t0, t1 = np.asarray(hb.t), np.asarray(h1.t)
+    differs = tri0 != tri1
+    if differs.any():  # edge ties only
+        np.testing.assert_allclose(t0[differs], t1[differs], rtol=1e-4)
+    agree = ~differs
+    hit = (tri0 >= 0) & agree
+    np.testing.assert_allclose(t0[hit], t1[hit], rtol=1e-4, atol=1e-5)
+
+
+def test_cluster_matches_lane_fields(spheres):
+    """Field tables agree with the (dense) lane kernel on the same scene."""
+    o, d = _rays(600, seed=3)
+    tp = pc.pack_shaded_tris_cluster(spheres.tris, spheres.data.materials)
+    ab = pc.pack_cluster_aabbs(spheres.tris)
+    h1, f1 = pc.intersect_shaded_clusters(spheres.tris, tp, ab, o, d, 1e-3)
+    lp = lane.pack_shaded_tris_lane(spheres.tris, spheres.data.materials)
+    h0, f0 = lane.intersect_shaded_lanes(spheres.tris, lp, o, d, 1e-3)
+    agree = np.asarray(h0.tri) == np.asarray(h1.tri)
+    hit = (np.asarray(h0.tri) >= 0) & agree
+    np.testing.assert_allclose(
+        np.asarray(f0)[hit], np.asarray(f1)[hit], atol=2e-4
+    )
+
+
+def test_cluster_single_cluster_edge_case():
+    """Cornell (36 tris < CK): one padded cluster must still be exact."""
+    cornell = Scene.from_built(cornell_box()).bake()
+    o, d = _rays(300, seed=4, spread=0.95)
+    o = jnp.clip(o, 0.05, 0.95)
+    tp = pc.pack_shaded_tris_cluster(cornell.tris, cornell.data.materials)
+    ab = pc.pack_cluster_aabbs(cornell.tris)
+    h1, _ = pc.intersect_shaded_clusters(cornell.tris, tp, ab, o, d, 1e-3)
+    hb = intersect_brute(cornell.tris, o, d, 1e-3)
+    agree = np.asarray(hb.tri) == np.asarray(h1.tri)
+    assert agree.mean() > 0.99
+    occ = pc.occluded_clusters(cornell.tris, o, d, 1e-3,
+                               t_max=jnp.full((300,), 0.4))
+    hb2 = intersect_brute(cornell.tris, o, d, 1e-3,
+                          t_max=jnp.full((300,), 0.4))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(hb2.hit))
