@@ -44,38 +44,55 @@ def main():
     print(f"scene: {n_tris} tris, {-(-n_tris // pc.CK)} clusters", flush=True)
 
     rs = np.random.RandomState(0)
-    # coherent: camera-ish rays toward the field
+    # coherent: a pixel-ordered camera grid (adjacent rays share direction,
+    # like the renderer's primary wavefronts — tiles of 1024 consecutive
+    # rays span ~1/1000 of the image)
+    side = 1024
     o_c = jnp.asarray(np.tile([[4.0, 4.0, -4.0]], (N, 1)).astype(np.float32))
-    tgt = rs.uniform(-1, 9.5, (N, 3)).astype(np.float32)
-    tgt[:, 2] = rs.uniform(3.5, 6.5, N)
-    d_c = tgt - np.asarray(o_c)
+    px, py = np.meshgrid(np.arange(side), np.arange(side), indexing="xy")
+    ndc_x = (px.reshape(-1) / side * 2 - 1) * 0.9
+    ndc_y = (py.reshape(-1) / side * 2 - 1) * 0.9
+    fwd = np.asarray([0.05, 0.05, 1.0])
+    right = np.asarray([1.0, 0.0, 0.0])
+    up = np.asarray([0.0, 1.0, 0.0])
+    d_c = (fwd[None] + ndc_x[:, None] * right[None]
+           + ndc_y[:, None] * up[None]).astype(np.float32)
     d_c = jnp.asarray(d_c / np.linalg.norm(d_c, axis=1, keepdims=True))
     # incoherent: random origins in the field, random dirs
     o_i = jnp.asarray(rs.uniform(-1, 9.5, (N, 3)).astype(np.float32))
     d_i = rs.normal(size=(N, 3)).astype(np.float32)
     d_i = jnp.asarray(d_i / np.linalg.norm(d_i, axis=1, keepdims=True))
 
-    pack = pc.pack_shaded_tris_cluster(baked.tris, baked.data.materials)
-    aabbs = pc.pack_cluster_aabbs(baked.tris)
-    occ_pack = pc.pack_tris_cluster(baked.tris)
-
     out = [None]
 
-    for tag, (o, d) in (("coherent", (o_c, d_c)), ("incoherent", (o_i, d_i))):
-        f = jax.jit(lambda o, d: pc.intersect_shaded_clusters(
-            baked.tris, pack, aabbs, o, d, 1e-3, interpret=False)[0].t)
-        def run(o=o, d=d, f=f):
-            out[0] = f(o, d)
-        dt = timeit(run, lambda: float(out[0][0]))
-        print(f"cluster closest {tag:10s}: {dt:8.2f} ms/1M rays", flush=True)
+    for ck in (256, 512):
+        pack = pc.pack_shaded_tris_cluster(baked.tris, baked.data.materials, ck)
+        aabbs = pc.pack_cluster_aabbs(baked.tris, ck)
+        occ_pack = pc.pack_tris_cluster(baked.tris, ck)
 
-        g = jax.jit(lambda o, d: pc.occluded_clusters(
-            baked.tris, o, d, 1e-3, t_max=jnp.full((N,), 2.0),
-            tri_pack=occ_pack, aabbs=aabbs, interpret=False).astype(jnp.float32))
-        def run2(o=o, d=d, g=g):
-            out[0] = g(o, d)
-        dt = timeit(run2, lambda: float(out[0][0]))
-        print(f"cluster any-hit {tag:10s}: {dt:8.2f} ms/1M rays", flush=True)
+        for tag, (o, d) in (("coherent", (o_c, d_c)),
+                            ("incoherent", (o_i, d_i))):
+            f = jax.jit(lambda o, d, ck=ck, pack=pack, aabbs=aabbs:
+                        pc.intersect_shaded_clusters(
+                            baked.tris, pack, aabbs, o, d, 1e-3, ck=ck,
+                            interpret=False)[0].t)
+            def run(o=o, d=d, f=f):
+                out[0] = f(o, d)
+            dt = timeit(run, lambda: float(out[0][0]))
+            print(f"ck={ck} closest {tag:10s}: {dt:8.2f} ms/1M rays",
+                  flush=True)
+
+            g = jax.jit(lambda o, d, ck=ck, occ_pack=occ_pack, aabbs=aabbs:
+                        pc.occluded_clusters(
+                            baked.tris, o, d, 1e-3,
+                            t_max=jnp.full((N,), 2.0), tri_pack=occ_pack,
+                            aabbs=aabbs, ck=ck,
+                            interpret=False).astype(jnp.float32))
+            def run2(o=o, d=d, g=g):
+                out[0] = g(o, d)
+            dt = timeit(run2, lambda: float(out[0][0]))
+            print(f"ck={ck} any-hit {tag:10s}: {dt:8.2f} ms/1M rays",
+                  flush=True)
 
     # jnp lockstep BVH (the previous TPU medium-scene path)
     h = jax.jit(lambda o, d: traverse.intersect_bvh(

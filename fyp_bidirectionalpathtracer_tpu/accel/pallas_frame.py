@@ -500,13 +500,13 @@ def _vertex_where(mask, a, b):
 
 def frame_kernel(
     scal_ref,      # SMEM [1, NSCAL] f32
-    iscal_ref,     # SMEM [1, 2] i32: bdpt_frame, light_count
+    iscal_ref,     # SMEM [1, 3] i32: bdpt_frame, light_count, pixel offset
     light_ref,     # SMEM [L_pad, NLROW] f32
     ndc_ref,       # VMEM [2, S, 128] f32 base ndc (jitter-free)
     tri_ref,       # VMEM [T_pad, 48] f32
     out_ref,       # VMEM [R_OUT, S, 128] f32
     *,
-    bounds, n_tris, l_pad, width, height, d_max, mat_model,
+    bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
     enable_e1, enable_e2, enable_e3, emit_gbuffer,
 ):
@@ -528,11 +528,15 @@ def frame_kernel(
     frame_u32 = iscal_ref[0, 0].astype(jnp.uint32)
     lcnt_i = iscal_ref[0, 1]
 
+    pix0 = iscal_ref[0, 2]  # global pixel offset of this shard's rows
     cell = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    lin = cell * (S * LANE) + row * LANE + lane
-    lane_ok = lin < n_pix
+    lin = pix0 + cell * (S * LANE) + row * LANE + lane
+    # padding lanes of a shard must not alias the next shard's pixels
+    lane_ok = ((cell * (S * LANE) + row * LANE + lane) < sub_pixels) & (
+        lin < n_pix
+    )
 
     # ---------------- primary ray (G-buffer, lightProbeGBuffer.rt.hlsl) ----
     ndc_x = ndc_ref[0] + 2.0 * jx / float(width)
@@ -868,23 +872,23 @@ def out_rows(d_max: int, enable_e2: bool, emit_gbuffer: bool) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bounds", "n_tris", "l_pad", "width", "height", "d_max", "mat_model",
-    "faithful_rng", "reference_quirks", "min_t", "clamp_upper",
+    "bounds", "n_tris", "l_pad", "width", "height", "sub_pixels", "d_max",
+    "mat_model", "faithful_rng", "reference_quirks", "min_t", "clamp_upper",
     "enable_e1", "enable_e2", "enable_e3", "emit_gbuffer", "interpret",
 ))
 def _launch_frame(
     scal, iscal, light_rows, ndc, tri_pack,
-    bounds, n_tris, l_pad, width, height, d_max, mat_model,
+    bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
     enable_e1, enable_e2, enable_e3, emit_gbuffer, interpret,
 ):
-    n_pix = width * height
-    n_pad = ((n_pix + S * LANE - 1) // (S * LANE)) * (S * LANE)
+    n_pad = ((sub_pixels + S * LANE - 1) // (S * LANE)) * (S * LANE)
     n_cols = n_pad // LANE
     r_out = out_rows(d_max, enable_e2, emit_gbuffer)
     kernel = functools.partial(
         frame_kernel,
         bounds=bounds, n_tris=n_tris, l_pad=l_pad, width=width, height=height,
+        sub_pixels=sub_pixels,
         d_max=d_max, mat_model=mat_model, faithful_rng=faithful_rng,
         reference_quirks=reference_quirks, min_t=min_t,
         clamp_upper=clamp_upper, enable_e1=enable_e1, enable_e2=enable_e2,
@@ -895,7 +899,7 @@ def _launch_frame(
         grid=(n_cols // S,),
         in_specs=[
             pl.BlockSpec((1, NSCAL), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(light_rows.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((2, S, LANE), lambda i: (0, i, 0),
@@ -938,12 +942,23 @@ def supports_megakernel(baked, cfg, max_tris: int = 2048) -> bool:
 def render_frame_megakernel(
     baked, width: int, height: int, bdpt_frame, pixel_jitter, cfg,
     tri_pack=None, interpret: bool | None = None,
+    sub_height: int | None = None, pixel_offset=None, ndc_rows=None,
+    axis_name: str | None = None,
 ):
     """Run the megakernel; returns (channels dict, frame_img [H,W,4]).
 
     Replicates gbuffer.ray_traced_gbuffer + passes.bdpt.bdpt_pass for the
     supported scope; the estimator-2 splats are scatter-added host-side in
     the same order as passes.bdpt.
+
+    Sharded use (inside shard_map over a row mesh): pass `sub_height` (rows
+    this shard renders), `pixel_offset` (global linear index of this
+    shard's first pixel — feeds the per-pixel RNG so shards reproduce the
+    single-chip sequences), `ndc_rows` (this shard's slice of the base NDC
+    rows), and `axis_name`.  Light-tracing splats land on *global* pixel
+    ids; with `axis_name` the splat image is psum-reduced over the mesh
+    (the one cross-chip collective — SURVEY.md §2.5) and this shard's rows
+    are sliced back out.
     """
     from ..ops import splat as splat_mod
 
@@ -954,6 +969,11 @@ def render_frame_megakernel(
     lights = data.lights
     bcfg = cfg.bdpt
     d_max = bcfg.max_depth
+    sub_h = height if sub_height is None else sub_height
+    if axis_name is None and sub_h != height:
+        raise ValueError("sub_height without axis_name is unsupported")
+    n_sub = sub_h * width
+    n_pix = width * height
 
     if tri_pack is None:
         tri_pack = pack_shaded_tris_lane(baked.tris, data.materials)
@@ -971,8 +991,12 @@ def render_frame_megakernel(
         data.env_map[0, 0, :3],
         lights.count.astype(jnp.float32)[None],
     ]).astype(jnp.float32)[None, :]
+    pix0 = (
+        jnp.asarray(0, jnp.int32) if pixel_offset is None
+        else jnp.asarray(pixel_offset).astype(jnp.int32)
+    )
     iscal = jnp.stack([
-        jnp.asarray(bdpt_frame).astype(jnp.int32), lights.count
+        jnp.asarray(bdpt_frame).astype(jnp.int32), lights.count, pix0
     ])[None, :]
     light_rows = jnp.concatenate([
         lights.pos_w, lights.dir_w, lights.intensity,
@@ -983,22 +1007,25 @@ def render_frame_megakernel(
     ], axis=-1).astype(jnp.float32)
     l_pad = int(light_rows.shape[0])
 
-    ndc = jnp.asarray(_base_ndc_rows_np(width, height))
+    ndc = (
+        jnp.asarray(_base_ndc_rows_np(width, height))
+        if ndc_rows is None
+        else ndc_rows
+    )
 
     out = _launch_frame(
         scal, iscal, light_rows, ndc, tri_pack,
-        bounds, int(baked.tris.v0.shape[0]), l_pad, width, height, d_max,
+        bounds, int(baked.tris.v0.shape[0]), l_pad, width, height, n_sub,
+        d_max,
         bcfg.mat_model, bcfg.faithful_rng, bcfg.reference_quirks,
         float(bcfg.min_t), float(bcfg.clamp_upper),
         bcfg.enable_path_tracing, bcfg.enable_light_tracing,
         bcfg.enable_connections, True, interpret,
     )
 
-    n_pix = width * height
-
     def img(row0, n=4):
-        flat = out[row0:row0 + n].reshape(n, -1)[:, :n_pix]
-        return flat.T.reshape(height, width, n)
+        flat = out[row0:row0 + n].reshape(n, -1)[:, :n_sub]
+        return flat.T.reshape(sub_h, width, n)
 
     result = img(0)
 
@@ -1007,7 +1034,7 @@ def render_frame_megakernel(
         lin_all, r_all, g_all, b_all, a_all = [], [], [], [], []
         for i in range(d_max):
             base = 4 + 5 * i
-            rows = out[base:base + 5].reshape(5, -1)[:, :n_pix]
+            rows = out[base:base + 5].reshape(5, -1)[:, :n_sub]
             lin_all.append(rows[0].astype(jnp.int32).reshape(-1))
             r_all.append(rows[1])
             g_all.append(rows[2])
@@ -1019,9 +1046,19 @@ def render_frame_megakernel(
             jnp.concatenate(b_all),
         ], -1)
         a = jnp.concatenate(a_all)
-        splat = splat_mod.scatter_add_rgba(
+        splat_flat = splat_mod.scatter_add_rgba(
             bcfg.splat_mode, lin, rgb, a, n_pix, alpha_is_count=True
-        ).reshape(height, width, 4)
+        )
+        if axis_name is not None:
+            # the one cross-chip collective: reduce splat images over ICI,
+            # then keep this shard's rows
+            splat_flat = jax.lax.psum(splat_flat, axis_name)
+            splat = jax.lax.dynamic_slice(
+                splat_flat.reshape(height, width, 4),
+                (pix0 // width, 0, 0), (sub_h, width, 4),
+            )
+        else:
+            splat = splat_flat.reshape(sub_h, width, 4)
         got_splat = jnp.any(splat != 0.0, axis=-1, keepdims=True)
         frame_img = jnp.where(
             got_splat, jnp.clip(result + splat, 0.0, 1.0), result
@@ -1037,10 +1074,10 @@ def render_frame_megakernel(
         "MaterialDiffuse": gbuf[..., 8:12],
         "MaterialSpecRough": gbuf[..., 12:16],
         "MaterialExtraParams": jnp.concatenate(
-            [gbuf[..., 16:17], jnp.zeros((height, width, 3), jnp.float32)], -1
+            [gbuf[..., 16:17], jnp.zeros((sub_h, width, 3), jnp.float32)], -1
         ),
         "Emissive": jnp.concatenate(
-            [gbuf[..., 17:20], jnp.zeros((height, width, 1), jnp.float32)], -1
+            [gbuf[..., 17:20], jnp.zeros((sub_h, width, 1), jnp.float32)], -1
         ),
         "BDPT": frame_img,
     }

@@ -60,6 +60,112 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
+def sharded_megakernel_step(cfg, mesh: Mesh, interpret: bool | None = None):
+    """Multi-chip render step that runs the whole-frame Pallas megakernel
+    *per shard* via shard_map (the SPMD partitioner cannot split a
+    pallas_call, but shard_map executes it locally on each device's row
+    block).  Per-pixel RNG seeds derive from global pixel ids, so the
+    sharded frame reproduces the single-chip megakernel frame exactly; the
+    estimator-2 splat image is psum-reduced over the mesh (the one
+    cross-chip collective) inside render_frame_megakernel.
+
+    Scope: megakernel-supported scenes, BMFR disabled (its reprojection
+    taps cross shard rows).  Returns a step(baked, camera, accum, bmfr,
+    gbuf_frame, bdpt_frame, reset) -> (channels, accum, bmfr).
+    """
+    import functools
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..accel import pallas_frame as pf
+    from ..passes import bmfr as bmfr_mod
+    from ..passes import gbuffer as gbuffer_mod
+    from ..passes.accumulate import AccumState, accumulate
+
+    n = int(mesh.devices.size)
+    h, w = cfg.height, cfg.width
+    if h % n != 0 or (h // n * w) % 128 != 0:
+        raise ValueError(
+            f"row sharding needs height divisible by {n} and shard pixel "
+            f"counts divisible by 128 (got {h}x{w})"
+        )
+    sub_h = h // n
+    n_sub = sub_h * w
+    pad_cols = -(-n_sub // (8 * 128)) * 8  # per-shard cols incl. padding
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # per-shard NDC rows, each shard's block padded independently
+    base = np.asarray(pf._base_ndc_rows_np(w, h))[:, : h * w // 128]
+    blocks = []
+    for s in range(n):
+        blk = base[:, s * (n_sub // 128):(s + 1) * (n_sub // 128)]
+        if blk.shape[1] < pad_cols:
+            blk = np.pad(blk, ((0, 0), (0, pad_cols - blk.shape[1]), (0, 0)))
+        blocks.append(blk)
+    ndc_all = jnp.asarray(np.concatenate(blocks, axis=1))
+
+    rep = P()
+    rows = P(ROW_AXIS)
+    accum_spec = AccumState(last_frame=rows, count=rep)
+    bmfr_spec = bmfr_mod.BMFRState(
+        prev_pos=rows, prev_norm=rows, prev_noisy=rows,
+        prev_filtered=rows, frame_number=rep,
+    )
+
+    def body(baked, camera, accum, bmfr_state, gbuf_frame, bdpt_frame,
+             reset, ndc):
+        idx = jax.lax.axis_index(ROW_AXIS)
+        pix0 = idx.astype(jnp.int32) * n_sub
+        scene = baked.with_camera(camera)
+        jitter = gbuffer_mod.pixel_jitter_for_frame(
+            bdpt_frame, cfg.gbuffer.jitter_mode
+        )
+        channels, frame_img = pf.render_frame_megakernel(
+            scene, w, h, bdpt_frame, jitter, cfg,
+            interpret=interpret, sub_height=sub_h, pixel_offset=pix0,
+            ndc_rows=ndc, axis_name=ROW_AXIS,
+        )
+        accum, accum_img = accumulate(
+            accum, frame_img, cfg.accumulate.max_accum_count, reset=reset
+        )
+        channels["Accumulated"] = accum_img
+        bmfr_state, out = bmfr_mod.bmfr_pass(
+            bmfr_state, channels, camera, cfg.bmfr
+        )
+        channels["PipelineOutput"] = out
+        return channels, accum, bmfr_state
+
+    import inspect
+
+    kw = {}
+    smap_params = inspect.signature(shard_map).parameters
+    if "check_rep" in smap_params:
+        kw["check_rep"] = False
+    elif "check_vma" in smap_params:
+        kw["check_vma"] = False
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, accum_spec, bmfr_spec, rep, rep, rep,
+                  P(None, ROW_AXIS, None)),
+        out_specs=(rows, accum_spec, bmfr_spec),
+        **kw,
+    )
+    jitted = jax.jit(fn)
+
+    def step(baked, camera, accum, bmfr_state, gbuf_frame, bdpt_frame, reset):
+        return jitted(
+            baked, camera, accum, bmfr_state, gbuf_frame, bdpt_frame,
+            reset, ndc_all,
+        )
+
+    return step
+
+
 def sharded_render_step(frame_fn, mesh: Mesh, height: int):
     """Wrap a whole-frame function so its image-shaped inputs/outputs shard
     by rows.  frame_fn signature matches pipeline.renderer.render_frame_fn

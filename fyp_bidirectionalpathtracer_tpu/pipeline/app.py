@@ -54,6 +54,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true")
     p.add_argument("--faithful-rng", action="store_true",
                    help="reproduce the reference's by-value RNG seeds")
+    p.add_argument("--shard", type=int, default=0,
+                   help="shard the frame by rows over N devices "
+                        "(0 = single device)")
     return p
 
 
@@ -113,7 +116,12 @@ def main(argv=None) -> dict:
     scene = load_scene(args.scene)
     max_lights = max(16, len(scene.lights))
     baked = scene.bake(max_lights=max_lights)
-    renderer = Renderer(baked, cfg)
+    mesh = None
+    if args.shard:
+        from ..parallel import sharding
+
+        mesh = sharding.make_mesh(args.shard)
+    renderer = Renderer(baked, cfg, mesh=mesh)
     prof = Profiler(enabled=args.profile)
 
     if args.resume and args.checkpoint:

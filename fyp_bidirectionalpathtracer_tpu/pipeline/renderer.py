@@ -114,7 +114,7 @@ def render_frame_fn(
 class Renderer:
     """Progressive renderer over a baked scene (Sample::renderFrame loop)."""
 
-    def __init__(self, baked: BakedScene, config: RenderConfig):
+    def __init__(self, baked: BakedScene, config: RenderConfig, mesh=None):
         self.baked = baked
         self.cfg = config
         self.camera = derive_camera(
@@ -125,9 +125,26 @@ class Renderer:
             bmfr=bmfr_mod.BMFRState.create(config.height, config.width),
         )
         self._prev_view_proj = self.camera.view_proj
-        self._fn = jax.jit(
-            functools.partial(render_frame_fn, cfg=config),
-        )
+        if mesh is not None:
+            from ..accel.pallas_frame import supports_megakernel
+            from ..parallel import sharding
+
+            if (
+                not config.bmfr.enabled
+                and config.bdpt.megakernel != "off"
+                and supports_megakernel(baked, config)
+            ):
+                # per-shard Pallas megakernel + splat psum over the mesh
+                self._fn = sharding.sharded_megakernel_step(config, mesh)
+            else:
+                self._fn = sharding.sharded_render_step(
+                    functools.partial(render_frame_fn, cfg=config),
+                    mesh, config.height,
+                )
+        else:
+            self._fn = jax.jit(
+                functools.partial(render_frame_fn, cfg=config),
+            )
         self.channels: dict = {}
 
     # -- camera control ------------------------------------------------

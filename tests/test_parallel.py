@@ -80,3 +80,47 @@ def test_graft_entry_multichip(n_dev):
     import __graft_entry__ as g
 
     g.dryrun_multichip(n_dev)
+
+
+def test_sharded_megakernel_matches_single(n_dev):
+    """shard_map megakernel step (interpret mode per shard) must reproduce
+    the single-chip megakernel frame: global-pixel RNG seeds + psum splat."""
+    import functools
+
+    from fyp_bidirectionalpathtracer_tpu.models.procedural import cornell_box
+    from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
+        BDPT_FRAME_INIT, GBUF_FRAME_INIT, render_frame_fn,
+    )
+    from fyp_bidirectionalpathtracer_tpu.passes.accumulate import AccumState
+    from fyp_bidirectionalpathtracer_tpu.passes.bmfr import BMFRState
+    from fyp_bidirectionalpathtracer_tpu.scene.scene import Scene
+    from fyp_bidirectionalpathtracer_tpu.utils.config import (
+        BDPTConfig, RenderConfig,
+    )
+
+    h = n_dev * 16  # 16*128 px/shard: exercises intra-shard padding
+    w = 128
+    cfg = RenderConfig(width=w, height=h, bdpt=BDPTConfig(megakernel="on"))
+    baked = Scene.from_built(cornell_box(), aspect=w / h).bake()
+    args = (
+        baked, baked.data.camera,
+        AccumState.create(h, w), BMFRState.create(h, w),
+        jnp.uint32(GBUF_FRAME_INIT), jnp.uint32(BDPT_FRAME_INIT),
+        jnp.asarray(False),
+    )
+    fn = functools.partial(render_frame_fn, cfg=cfg)
+    ch_ref, accum_ref, _ = jax.jit(fn)(*args)
+
+    mesh = sharding.make_mesh(n_dev)
+    step = sharding.sharded_megakernel_step(cfg, mesh, interpret=True)
+    ch_sh, accum_sh, _ = step(*args)
+    np.testing.assert_allclose(
+        np.asarray(ch_ref["PipelineOutput"]),
+        np.asarray(ch_sh["PipelineOutput"]),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ch_ref["WorldNormal"]), np.asarray(ch_sh["WorldNormal"]),
+        atol=2e-5,
+    )
+    assert float(accum_sh.count) == float(accum_ref.count)
