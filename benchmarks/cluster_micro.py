@@ -94,6 +94,15 @@ def main():
             print(f"ck={ck} any-hit {tag:10s}: {dt:8.2f} ms/1M rays",
                   flush=True)
 
+    # lean closest (the 32k-131k tier) on the same 20k scene
+    for tag, (o, d) in (("coherent", (o_c, d_c)), ("incoherent", (o_i, d_i))):
+        fl = jax.jit(lambda o, d: pc.intersect_closest_clusters(
+            baked.tris, o, d, 1e-3, interpret=False).t)
+        def run4(o=o, d=d, fl=fl):
+            out[0] = fl(o, d)
+        dt = timeit(run4, lambda: float(out[0][0]))
+        print(f"lean closest {tag:10s} : {dt:8.2f} ms/1M rays", flush=True)
+
     # jnp lockstep BVH (the previous TPU medium-scene path)
     h = jax.jit(lambda o, d: traverse.intersect_bvh(
         baked.data.bvh, baked.tris, o, d, 1e-3).t)

@@ -92,9 +92,13 @@ def main():
     gidx = jnp.asarray(rs.randint(0, n, NPIX).astype(np.int32))
     fg = jax.jit(lambda r, i: r[i])
     print(f"wide gather 0.92M    rows=4: {timeit(lambda: fg(rows, gidx)):7.2f} ms", flush=True)
-    fc = jax.jit(lambda l, v: jnp.zeros(NPIX, jnp.complex64).at[l].add(
-        jax.lax.complex(v[:, 0], v[:, 1]), mode="drop"))
-    print(f"1x complex64 scatter n=2.8M: {timeit(lambda: fc(lin, val)):7.2f} ms", flush=True)
+    # scatter-set variants for the packed mode's position scatter
+    fset = jax.jit(lambda l: jnp.full((NPIX,), -1, jnp.int32).at[jnp.sort(l)].set(
+        iota, mode="drop", indices_are_sorted=True, unique_indices=False))
+    print(f"sorted i32 scat-set  n=2.8M: {timeit(lambda: fset(lin)):7.2f} ms", flush=True)
+    fmax_u = jax.jit(lambda l: jnp.full((NPIX,), -1, jnp.int32).at[l].max(
+        iota, mode="drop"))
+    print(f"unsorted i32 max     n=2.8M: {timeit(lambda: fmax_u(lin)):7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

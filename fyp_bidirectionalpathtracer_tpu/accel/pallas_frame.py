@@ -933,6 +933,7 @@ def supports_megakernel(baked, cfg, max_tris: int = 2048) -> bool:
         int(baked.tris.v0.shape[0]) <= max_tris
         and tuple(data.env_map.shape[:2]) == (1, 1)
         and tuple(data.textures.data.shape[:2]) == (1, 1)  # dummy atlas
+        and not getattr(baked, "has_alpha", False)
         and cfg.bdpt.connection_weight == "uniform"
         and not cfg.gbuffer.use_thin_lens
         and cfg.bdpt.max_depth >= 1

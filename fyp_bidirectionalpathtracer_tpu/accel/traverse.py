@@ -286,11 +286,13 @@ def intersect_bvh(
     )
 
 
-CLUSTER_THRESHOLD = 32768  # shaded cluster pack (192 B/tri) ~6 MB of VMEM
+CLUSTER_THRESHOLD = 32768      # shaded cluster pack (192 B/tri) ~6 MB VMEM
+CLUSTER_OCC_THRESHOLD = 131072  # lean BW pack (64 B/tri) ~8 MB VMEM
 
 
 def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
-                     materials=None, cluster_threshold: int = CLUSTER_THRESHOLD):
+                     materials=None, cluster_threshold: int = CLUSTER_THRESHOLD,
+                     cluster_occ_threshold: int = CLUSTER_OCC_THRESHOLD):
     """Pick the intersection path once, at trace (host) time, by scene size.
 
     Small scenes take the dense Pallas kernels on TPU — every triangle stays
@@ -298,7 +300,9 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
     the jnp brute force is used.  Medium scenes (brute_threshold,
     cluster_threshold] take the two-level clustered kernels
     (accel.pallas_cluster): per-cluster AABB culling in-kernel, dense pair
-    tests only for clusters any ray overlaps.  Larger scenes fall back to
+    tests only for clusters any ray overlaps.  Up to cluster_occ_threshold
+    the lean [T,16] pack still fits VMEM: closest-hit uses the lean cluster
+    kernel (shading via XLA gathers outside).  Larger scenes fall back to
     the threaded-BVH lockstep traversal (jnp).
     """
     from .pallas_intersect import intersect_pallas, pack_triangles
@@ -308,7 +312,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
     on_tpu = PALLAS_ENABLED and jax.default_backend() == "tpu"
     use_brute = n_tris <= brute_threshold
     use_pallas = use_brute and on_tpu
-    use_cluster = (not use_brute) and n_tris <= cluster_threshold and on_tpu
+    use_cluster = (not use_brute) and n_tris <= cluster_occ_threshold and on_tpu
     tri_pack = pack_triangles(tris) if use_pallas else None
     tri_pack_lane = pack_tris_lane(tris) if use_pallas else None
 
@@ -319,7 +323,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
         occ_pack = pc.pack_tris_cluster(tris)
         shaded_pack = (
             pc.pack_shaded_tris_cluster(tris, materials)
-            if materials is not None
+            if materials is not None and n_tris <= cluster_threshold
             else None
         )
 
@@ -343,9 +347,9 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     t_max, cull_backface, interpret=False,
                 )
                 return hit
-            return intersect_bvh(
-                bvh, tris, origin, direction, t_min, t_max, closest,
-                cull_backface,
+            return pc.intersect_closest_clusters(
+                tris, origin, direction, t_min, t_max, cull_backface,
+                tri_pack=occ_pack, aabbs=aabbs, interpret=False,
             )
 
         return intersect

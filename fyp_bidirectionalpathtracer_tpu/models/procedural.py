@@ -220,6 +220,47 @@ def checkerboard(res: int = 64, c0=(0.9, 0.9, 0.9), c1=(0.3, 0.3, 0.35), tiles: 
     return np.concatenate([img, np.ones((res, res, 1), np.float32)], -1)
 
 
+def cutout_checkerboard(res: int = 64, tiles: int = 4,
+                        color=(0.9, 0.9, 0.9)):
+    """Checker texture whose dark tiles are fully transparent (alpha 0) —
+    exercises the any-hit alpha test (BDPTUtils.hlsli:115-127)."""
+    ys, xs = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    mask = ((xs * tiles // res) + (ys * tiles // res)) % 2 == 0
+    img = np.where(mask[..., None], np.asarray(color, np.float32),
+                   np.asarray(color, np.float32) * 0.5)
+    alpha = np.where(mask, 1.0, 0.0).astype(np.float32)
+    return np.concatenate([img, alpha[..., None]], -1)
+
+
+def alpha_panel_scene(light_intensity=(8.0, 8.0, 8.0)) -> BuiltScene:
+    """Cornell-like box with a vertical alpha-cutout panel between the
+    camera/light and the back wall: shadow rays and GI rays must pass
+    through the transparent tiles and be blocked by the opaque ones."""
+    panel = MaterialDesc(
+        "panel", base_color=(1.0, 1.0, 1.0, 1.0),
+        base_color_image=cutout_checkerboard(),
+    )
+    white = MaterialDesc("white", base_color=(0.75, 0.75, 0.75, 1.0))
+    s = BuiltScene(materials=[white, panel])
+    # floor / ceiling / back wall
+    s.meshes.append(quad((0, 0, 0), (0, 0, 1), (1, 0, 1), (1, 0, 0), 0))
+    s.meshes.append(quad((0, 1, 0), (1, 1, 0), (1, 1, 1), (0, 1, 1), 0))
+    s.meshes.append(quad((0, 0, 1), (0, 1, 1), (1, 1, 1), (1, 0, 1), 0))
+    # cutout panel mid-room, facing camera
+    s.meshes.append(
+        quad((0.1, 0.1, 0.5), (0.1, 0.9, 0.5), (0.9, 0.9, 0.5),
+             (0.9, 0.1, 0.5), 1)
+    )
+    s.lights = [
+        {"type": "point", "pos": (0.5, 0.9, 0.05), "intensity": light_intensity}
+    ]
+    s.camera = {
+        "pos": (0.5, 0.5, -1.0), "target": (0.5, 0.5, 0.5),
+        "up": (0.0, 1.0, 0.0), "focal_length": 21.0, "aspect": 1.0,
+    }
+    return s
+
+
 def textured_room(light_intensity=(4.5, 4.2, 3.8)) -> BuiltScene:
     """A pink-room-like textured interior: checkered floor, tinted walls with
     a second texture, one emissive panel material, a sphere and a box — a

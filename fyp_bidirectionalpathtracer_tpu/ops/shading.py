@@ -237,6 +237,13 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
     )
     intersect = baked.intersector(brute_threshold)
 
+    def alpha_wrap(trace):
+        if getattr(baked, "has_alpha", False):
+            from .alpha import wrap_tracer
+
+            return wrap_tracer(baked, trace)
+        return trace
+
     if use_cluster:
         from ..accel.pallas_cluster import (
             intersect_shaded_clusters,
@@ -257,7 +264,7 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
             )
             return hit, sd
 
-        return trace
+        return alpha_wrap(trace)
 
     if use_fused:
         if on_tpu:
@@ -275,7 +282,7 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
                 )
                 return hit, sd
 
-            return trace
+            return alpha_wrap(trace)
 
         pack = pack_shaded_triangles(baked.tris, baked.data.materials)
 
@@ -289,7 +296,7 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
             )
             return hit, sd
 
-        return trace
+        return alpha_wrap(trace)
 
     def trace(origin, direction, t_min, view_origin, cull_backface=False):
         hit = intersect(
@@ -301,4 +308,4 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
         )
         return hit, sd
 
-    return trace
+    return alpha_wrap(trace)

@@ -22,7 +22,8 @@ import time
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU BDPT renderer")
     p.add_argument("--scene", default="cornell",
-                   help="'cornell', 'many-lights', or a path to .fscene/.obj")
+                   help="'cornell', 'many-lights', 'textured', 'alpha-panel',"
+                        " or a path to .fscene/.obj")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--frames", type=int, default=32, help="frames to accumulate")
@@ -61,7 +62,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def load_scene(name: str):
-    from ..models.procedural import cornell_box, many_light_scene, textured_room
+    from ..models.procedural import (
+        alpha_panel_scene,
+        cornell_box,
+        many_light_scene,
+        textured_room,
+    )
     from ..scene.scene import Scene
 
     if name == "cornell":
@@ -70,6 +76,8 @@ def load_scene(name: str):
         return Scene.from_built(many_light_scene())
     if name == "textured":
         return Scene.from_built(textured_room())
+    if name == "alpha-panel":
+        return Scene.from_built(alpha_panel_scene())
     if name.endswith(".fscene"):
         from ..scene.fscene import load_fscene
 

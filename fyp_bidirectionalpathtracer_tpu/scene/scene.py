@@ -219,7 +219,12 @@ class Scene:
             camera=self.camera,
             env_map=env,
         )
-        baked = BakedScene(data=data, tris=tris)
+        from ..ops.alpha import has_alpha_materials
+
+        baked = BakedScene(
+            data=data, tris=tris,
+            has_alpha=has_alpha_materials(materials, atlas),
+        )
         object.__setattr__(baked, "host", self)
         return baked
 
@@ -234,14 +239,24 @@ class BakedScene:
 
     data: SceneData
     tris: TriSoA
+    # static (non-pytree): does any material have sub-threshold base alpha?
+    has_alpha: bool = struct.field(pytree_node=False, default=False)
 
     def intersector(self, brute_threshold: int = 512):
-        return make_intersector(
+        intersect = make_intersector(
             self.data.bvh, self.tris, brute_threshold,
             materials=self.data.materials,
         )
+        if self.has_alpha:
+            from ..ops.alpha import wrap_intersector
+
+            return wrap_intersector(self, intersect)
+        return intersect
 
     def with_camera(self, cam) -> "BakedScene":
-        out = BakedScene(data=self.data.replace(camera=cam), tris=self.tris)
+        out = BakedScene(
+            data=self.data.replace(camera=cam), tris=self.tris,
+            has_alpha=self.has_alpha,
+        )
         object.__setattr__(out, "host", getattr(self, "host", None))
         return out

@@ -91,6 +91,27 @@ def test_cluster_matches_lane_fields(spheres):
     )
 
 
+def test_cluster_lean_closest_matches_brute(spheres):
+    """Lean [T,16]-pack closest-hit (the 32k-131k tier) vs brute."""
+    o, d = _rays(600, seed=5)
+    h1 = pc.intersect_closest_clusters(spheres.tris, o, d, 1e-3)
+    hb = intersect_brute(spheres.tris, o, d, 1e-3)
+    tri0, tri1 = np.asarray(hb.tri), np.asarray(h1.tri)
+    t0, t1 = np.asarray(hb.t), np.asarray(h1.t)
+    differs = tri0 != tri1
+    if differs.any():
+        np.testing.assert_allclose(t0[differs], t1[differs], rtol=1e-4)
+    hit = (tri0 >= 0) & ~differs
+    np.testing.assert_allclose(t0[hit], t1[hit], rtol=1e-4, atol=1e-5)
+    # barycentrics agree where winners agree
+    np.testing.assert_allclose(
+        np.asarray(hb.bary_u)[hit], np.asarray(h1.bary_u)[hit], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hb.bary_v)[hit], np.asarray(h1.bary_v)[hit], atol=2e-4
+    )
+
+
 def test_cluster_single_cluster_edge_case():
     """Cornell (36 tris < CK): one padded cluster must still be exact."""
     cornell = Scene.from_built(cornell_box()).bake()
