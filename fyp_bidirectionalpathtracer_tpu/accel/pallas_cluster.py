@@ -152,6 +152,64 @@ def _pair_test_block(blk, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface):
     return valid, t
 
 
+def _occl_accumulate(blk, c, ck, n_tris, o, d, tmin, tmax, occ_ref):
+    """Accumulate any-hit counts for one loaded cluster block."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (blk.shape[0], LANE), 0)
+    in_scene = (sub + c * ck) < n_tris
+    hits = []
+    for s in range(S):
+        valid, _t = _pair_test_block(
+            blk,
+            o[0][s:s + 1], o[1][s:s + 1], o[2][s:s + 1],
+            d[0][s:s + 1], d[1][s:s + 1], d[2][s:s + 1],
+            tmin[s:s + 1], tmax[s:s + 1], False,
+        )
+        valid = valid & in_scene
+        hits.append(jnp.sum(valid.astype(jnp.float32), axis=0, keepdims=True))
+    occ_ref[...] = occ_ref[...] + jnp.concatenate(hits, axis=0)
+
+
+def _closest_update(blk, c, ck, n_tris, o, d, tmin, cull_backface,
+                    bt_ref, bid_ref):
+    """Winner update for one loaded cluster block (inline selection)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (blk.shape[0], LANE), 0)
+    sub_f = sub.astype(jnp.float32)
+    tri_ids = sub + c * ck
+    in_scene = tri_ids < n_tris
+    for s in range(S):
+        best_t = bt_ref[s:s + 1, :]
+        valid, t = _pair_test_block(
+            blk,
+            o[0][s:s + 1], o[1][s:s + 1], o[2][s:s + 1],
+            d[0][s:s + 1], d[1][s:s + 1], d[2][s:s + 1],
+            tmin[s:s + 1], best_t, cull_backface,
+        )
+        valid = valid & in_scene
+        t_m = jnp.where(valid, t, _BIG)
+        col_min = jnp.min(t_m, axis=0, keepdims=True)
+        improved = col_min < best_t
+        is_min = (t_m == col_min) & valid
+        first = jnp.min(jnp.where(is_min, sub_f, 1e9), axis=0, keepdims=True)
+        pick = (sub_f == first) & is_min
+        new_id = jnp.sum(jnp.where(pick, tri_ids, 0), axis=0, keepdims=True)
+        bid_ref[s:s + 1, :] = jnp.where(improved, new_id, bid_ref[s:s + 1, :])
+        bt_ref[s:s + 1, :] = jnp.where(improved, col_min, best_t)
+
+
+def _bary_fetch(blk12, c, ck, bid, fet_ref):
+    """Accumulate winner BW rows (one-hot MXU) for one loaded cluster."""
+    in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (blk12.shape[0], LANE), 0)
+    for s in range(S):
+        local = bid[s:s + 1, :] - c * ck
+        pick = ((sub == local) & in_c[s:s + 1, :]).astype(jnp.float32)
+        fet_ref[s] = fet_ref[s] + jax.lax.dot_general(
+            blk12, pick, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
 def _cluster_occlusion_kernel(
     r_ref, aabb_ref, tri_ref, out_ref, occ_ref, *, n_clusters, ck, n_tris
 ):
@@ -166,26 +224,114 @@ def _cluster_occlusion_kernel(
         @pl.when(pred)
         def _():
             blk = tri_ref[pl.ds(c * ck, ck), :]
-            sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
-            in_scene = (sub + c * ck) < n_tris
-            hits = []
-            for s in range(S):
-                valid, _t = _pair_test_block(
-                    blk,
-                    o[0][s:s + 1], o[1][s:s + 1], o[2][s:s + 1],
-                    d[0][s:s + 1], d[1][s:s + 1], d[2][s:s + 1],
-                    tmin[s:s + 1], tmax[s:s + 1], False,
-                )
-                valid = valid & in_scene
-                hits.append(
-                    jnp.sum(valid.astype(jnp.float32), axis=0, keepdims=True)
-                )
-            occ_ref[...] = occ_ref[...] + jnp.concatenate(hits, axis=0)
+            _occl_accumulate(blk, c, ck, n_tris, o, d, tmin, tmax, occ_ref)
 
         return 0
 
     jax.lax.fori_loop(0, n_clusters, body, 0)
     out_ref[...] = occ_ref[...]
+
+
+def _cluster_occlusion_hbm_kernel(
+    r_ref, aabb_ref, tri_hbm, out_ref, occ_ref, blk_ref, sem,
+    *, n_clusters, ck, n_tris
+):
+    """Any-hit with the triangle pack resident in HBM: clusters any ray's
+    interval overlaps are DMA-paged into VMEM scratch on demand."""
+    o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
+    occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
+
+    def body(c, _):
+        open_ = occ_ref[...] == 0.0
+        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, tmax)
+        pred = jnp.sum((overlap & open_).astype(jnp.float32)) > 0.0
+
+        @pl.when(pred)
+        def _():
+            cp = pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * ck, ck), :], blk_ref, sem
+            )
+            cp.start()
+            cp.wait()
+            _occl_accumulate(
+                blk_ref[...], c, ck, n_tris, o, d, tmin, tmax, occ_ref
+            )
+
+        return 0
+
+    jax.lax.fori_loop(0, n_clusters, body, 0)
+    out_ref[...] = occ_ref[...]
+
+
+def _cluster_closest_hbm_kernel(
+    r_ref, aabb_ref, tri_hbm, out_ref, bt_ref, bid_ref, fet_ref, blk_ref,
+    sem, *, n_clusters, ck, n_tris, cull_backface,
+):
+    """Lean closest-hit with HBM-resident triangles (demand-paged)."""
+    o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
+    bt_ref[...] = tmax
+    bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
+
+    def body(c, _):
+        best = bt_ref[...]
+        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, best)
+        pred = jnp.sum(overlap.astype(jnp.float32)) > 0.0
+
+        @pl.when(pred)
+        def _():
+            cp = pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * ck, ck), :], blk_ref, sem
+            )
+            cp.start()
+            cp.wait()
+            _closest_update(
+                blk_ref[...], c, ck, n_tris, o, d, tmin, cull_backface,
+                bt_ref, bid_ref,
+            )
+
+        return 0
+
+    jax.lax.fori_loop(0, n_clusters, body, 0)
+
+    bid = bid_ref[...]
+    t_ = bt_ref[...]
+    fet_ref[...] = jnp.zeros((S, 12, LANE), jnp.float32)
+
+    def fetch(c, _):
+        in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
+        pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
+
+        @pl.when(pred)
+        def _():
+            cp = pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * ck, ck), :], blk_ref, sem
+            )
+            cp.start()
+            cp.wait()
+            _bary_fetch(blk_ref[:, 0:12], c, ck, bid, fet_ref)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_clusters, fetch, 0)
+
+    def attr(k):
+        return jnp.concatenate(
+            [fet_ref[s, k:k + 1, :] for s in range(S)], axis=0
+        )
+
+    ox, oy, oz = o
+    dx, dy, dz = d
+    u_acc = (attr(4) * ox + attr(5) * oy + attr(6) * oz - attr(7)) + t_ * (
+        attr(4) * dx + attr(5) * dy + attr(6) * dz
+    )
+    v_acc = (attr(8) * ox + attr(9) * oy + attr(10) * oz - attr(11)) + t_ * (
+        attr(8) * dx + attr(9) * dy + attr(10) * dz
+    )
+    hit_f = (bid >= 0).astype(jnp.float32)
+    out_ref[0] = t_
+    out_ref[1] = bid.astype(jnp.float32)
+    out_ref[2] = u_acc * hit_f
+    out_ref[3] = v_acc * hit_f
 
 
 def _cluster_shaded_kernel(
@@ -322,35 +468,10 @@ def _cluster_closest_kernel(
 
         @pl.when(pred)
         def _():
-            blk = tri_ref[pl.ds(c * ck, ck), :]
-            sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
-            sub_f = sub.astype(jnp.float32)
-            tri_ids = sub + c * ck
-            in_scene = tri_ids < n_tris
-            for s in range(S):
-                best_t = bt_ref[s:s + 1, :]
-                valid, t = _pair_test_block(
-                    blk,
-                    o[0][s:s + 1], o[1][s:s + 1], o[2][s:s + 1],
-                    d[0][s:s + 1], d[1][s:s + 1], d[2][s:s + 1],
-                    tmin[s:s + 1], best_t, cull_backface,
-                )
-                valid = valid & in_scene
-                t_m = jnp.where(valid, t, _BIG)
-                col_min = jnp.min(t_m, axis=0, keepdims=True)
-                improved = col_min < best_t
-                is_min = (t_m == col_min) & valid
-                first = jnp.min(
-                    jnp.where(is_min, sub_f, 1e9), axis=0, keepdims=True
-                )
-                pick = (sub_f == first) & is_min
-                new_id = jnp.sum(
-                    jnp.where(pick, tri_ids, 0), axis=0, keepdims=True
-                )
-                bid_ref[s:s + 1, :] = jnp.where(
-                    improved, new_id, bid_ref[s:s + 1, :]
-                )
-                bt_ref[s:s + 1, :] = jnp.where(improved, col_min, best_t)
+            _closest_update(
+                tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d, tmin,
+                cull_backface, bt_ref, bid_ref,
+            )
 
         return 0
 
@@ -367,16 +488,7 @@ def _cluster_closest_kernel(
 
         @pl.when(pred)
         def _():
-            blk = tri_ref[pl.ds(c * ck, ck), 0:12]
-            sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
-            for s in range(S):
-                local = bid[s:s + 1, :] - c * ck
-                pick = ((sub == local) & in_c[s:s + 1, :]).astype(jnp.float32)
-                fet_ref[s] = fet_ref[s] + jax.lax.dot_general(
-                    blk, pick, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+            _bary_fetch(tri_ref[pl.ds(c * ck, ck), 0:12], c, ck, bid, fet_ref)
 
         return 0
 
@@ -525,6 +637,128 @@ def intersect_closest_clusters(
     if aabbs is None:
         aabbs = pack_cluster_aabbs(tris, ck)
     out = _launch_cluster_closest(
+        rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
+        int(tris.v0.shape[0]), cull_backface, interpret,
+    )
+    flat = out.reshape(4, -1)[:, :n]
+    tri = flat[1].astype(jnp.int32).reshape(shape)
+    miss = tri < 0
+    return HitRecord(
+        t=jnp.where(miss, _BIG, flat[0].reshape(shape)),
+        tri=tri,
+        bary_u=flat[2].reshape(shape),
+        bary_v=flat[3].reshape(shape),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "ck", "n_tris", "interpret")
+)
+def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
+                                  n_tris, interpret):
+    n_cols = rows.shape[1]
+    return pl.pallas_call(
+        functools.partial(
+            _cluster_occlusion_hbm_kernel,
+            n_clusters=n_clusters, ck=ck, n_tris=n_tris,
+        ),
+        grid=(n_cols // S,),
+        in_specs=[
+            pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
+        ],
+        out_specs=pl.BlockSpec((S, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, LANE), jnp.float32),
+            pltpu.VMEM((ck, 16), jnp.float32),   # DMA landing block
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(rows, aabbs, tri_pack)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "ck", "n_tris", "cull_backface",
+                     "interpret"),
+)
+def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
+                                n_tris, cull_backface, interpret):
+    n_cols = rows.shape[1]
+    return pl.pallas_call(
+        functools.partial(
+            _cluster_closest_hbm_kernel,
+            n_clusters=n_clusters, ck=ck, n_tris=n_tris,
+            cull_backface=cull_backface,
+        ),
+        grid=(n_cols // S,),
+        in_specs=[
+            pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
+        ],
+        out_specs=pl.BlockSpec((4, S, LANE), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_cols, LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, LANE), jnp.float32),
+            pltpu.VMEM((S, LANE), jnp.int32),
+            pltpu.VMEM((S, 12, LANE), jnp.float32),
+            pltpu.VMEM((ck, 16), jnp.float32),   # DMA landing block
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(rows, aabbs, tri_pack)
+
+
+def occluded_clusters_hbm(tris, origin, direction, t_min, t_max=None,
+                          tri_pack=None, aabbs=None, ck: int = CK,
+                          interpret: bool | None = None):
+    """Any-hit with HBM-resident triangles (the unbounded-scene tier)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = origin.shape[:-1]
+    rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
+    if tri_pack is None:
+        tri_pack = pack_tris_cluster(tris, ck)
+    if aabbs is None:
+        aabbs = pack_cluster_aabbs(tris, ck)
+    hits = _launch_cluster_occlusion_hbm(
+        rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
+        int(tris.v0.shape[0]), interpret,
+    )
+    return (hits.reshape(-1)[:n] > 0).reshape(shape)
+
+
+def intersect_closest_clusters_hbm(
+    tris: TriSoA,
+    origin,
+    direction,
+    t_min,
+    t_max=None,
+    cull_backface: bool = False,
+    tri_pack=None,
+    aabbs=None,
+    ck: int = CK,
+    interpret: bool | None = None,
+) -> HitRecord:
+    """Closest-hit with HBM-resident triangles (demand-paged clusters)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = origin.shape[:-1]
+    rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
+    if tri_pack is None:
+        tri_pack = pack_tris_cluster(tris, ck)
+    if aabbs is None:
+        aabbs = pack_cluster_aabbs(tris, ck)
+    out = _launch_cluster_closest_hbm(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
         int(tris.v0.shape[0]), cull_backface, interpret,
     )

@@ -288,6 +288,7 @@ def intersect_bvh(
 
 CLUSTER_THRESHOLD = 32768      # shaded cluster pack (192 B/tri) ~6 MB VMEM
 CLUSTER_OCC_THRESHOLD = 131072  # lean BW pack (64 B/tri) ~8 MB VMEM
+CLUSTER_HBM_THRESHOLD = 1 << 20  # HBM-paged tier; AABBs (32 B/cluster) in SMEM
 
 
 def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
@@ -312,7 +313,8 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
     on_tpu = PALLAS_ENABLED and jax.default_backend() == "tpu"
     use_brute = n_tris <= brute_threshold
     use_pallas = use_brute and on_tpu
-    use_cluster = (not use_brute) and n_tris <= cluster_occ_threshold and on_tpu
+    use_cluster = (not use_brute) and n_tris <= CLUSTER_HBM_THRESHOLD and on_tpu
+    hbm_tier = n_tris > cluster_occ_threshold
     tri_pack = pack_triangles(tris) if use_pallas else None
     tri_pack_lane = pack_tris_lane(tris) if use_pallas else None
 
@@ -326,11 +328,19 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
             if materials is not None and n_tris <= cluster_threshold
             else None
         )
+        occluded_fn = (
+            pc.occluded_clusters_hbm if hbm_tier else pc.occluded_clusters
+        )
+        closest_lean_fn = (
+            pc.intersect_closest_clusters_hbm
+            if hbm_tier
+            else pc.intersect_closest_clusters
+        )
 
         def intersect(origin, direction, t_min, t_max=None, closest=True,
                       cull_backface=False):
             if not closest:
-                occ = pc.occluded_clusters(
+                occ = occluded_fn(
                     tris, origin, direction, t_min, t_max,
                     tri_pack=occ_pack, aabbs=aabbs, interpret=False,
                 )
@@ -347,7 +357,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     t_max, cull_backface, interpret=False,
                 )
                 return hit
-            return pc.intersect_closest_clusters(
+            return closest_lean_fn(
                 tris, origin, direction, t_min, t_max, cull_backface,
                 tri_pack=occ_pack, aabbs=aabbs, interpret=False,
             )

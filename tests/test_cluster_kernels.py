@@ -112,6 +112,22 @@ def test_cluster_lean_closest_matches_brute(spheres):
     )
 
 
+def test_cluster_hbm_matches_vmem(spheres):
+    """HBM demand-paged kernels (DMA per visited cluster) vs the VMEM
+    variants."""
+    o, d = _rays(600, seed=6)
+    tmax = jnp.full((600,), 3.0)
+    occ_h = pc.occluded_clusters_hbm(spheres.tris, o, d, 1e-3, t_max=tmax)
+    occ_v = pc.occluded_clusters(spheres.tris, o, d, 1e-3, t_max=tmax)
+    np.testing.assert_array_equal(np.asarray(occ_h), np.asarray(occ_v))
+
+    h_h = pc.intersect_closest_clusters_hbm(spheres.tris, o, d, 1e-3)
+    h_v = pc.intersect_closest_clusters(spheres.tris, o, d, 1e-3)
+    np.testing.assert_array_equal(np.asarray(h_h.tri), np.asarray(h_v.tri))
+    np.testing.assert_allclose(np.asarray(h_h.t), np.asarray(h_v.t),
+                               rtol=1e-6)
+
+
 def test_cluster_single_cluster_edge_case():
     """Cornell (36 tris < CK): one padded cluster must still be exact."""
     cornell = Scene.from_built(cornell_box()).bake()
