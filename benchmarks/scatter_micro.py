@@ -100,6 +100,20 @@ def main():
         iota, mode="drop"))
     print(f"unsorted i32 max     n=2.8M: {timeit(lambda: fmax_u(lin)):7.2f} ms", flush=True)
 
+    # packed (set-based, order-independent broadcast): full pipeline +
+    # ON-DEVICE equality check vs direct
+    fps = jax.jit(lambda l, v, a: splat_mod.scatter_add_rgba(
+        "packed", l, v[:, :3], a, NPIX, alpha_is_count=True))
+    aflag = (jnp.asarray(rs.rand(n)) < 0.7).astype(jnp.float32)
+    lin_d = jnp.where(aflag > 0, lin, NPIX)  # dropped where alpha==0
+    val_d = val.at[:, :3].set(val[:, :3] * aflag[:, None])
+    print(f"rgba packed (set)    n=2.8M: {timeit(lambda: fps(lin_d, val_d, aflag)):7.2f} ms", flush=True)
+    ref = splat_mod.scatter_add_rgba("direct", lin_d, val_d[:, :3], aflag, NPIX)
+    got = fps(lin_d, val_d, aflag)
+    err = float(jnp.abs(ref - got).max())
+    print(f"packed max |err| vs direct: {err:.2e} "
+          f"({'OK' if err < 1e-2 else 'MISMATCH'})", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -57,21 +57,37 @@ def scatter_add_rgba_sorted(lin, rgb, alpha, n_targets: int):
     return jnp.stack(chans, -1)
 
 
+_PACKED_SCALE_BITS = 18  # fixed-point: 2^-18 quantum, 8192 max pixel total
+
+
 def scatter_add_rgba_packed(lin, rgb, alpha, n_targets: int,
                             alpha_is_count: bool = False):
-    """Sort + segment-sum, then ONE int32 scatter-max (segment-end position
-    per pixel) + ONE wide gather of the packed [U,4] totals.
+    """Sort + int32 fixed-point prefix sums, then ONE int32 scatter-max
+    (segment-end position per pixel) + TWO wide gathers.
 
     TPU scatter cost is per *update element* per operand; the direct path
-    pays 4 f32 scatters of U updates, this path pays one i32 scatter of U +
-    one 4-wide gather of n_targets (gathers cost the same regardless of row
-    width).  Scatter-max needs no mask: the segment-end row is exactly the
-    row with the maximum sort position for its key.
+    pays 4 f32 scatters of U updates, this path pays one i32 scatter of U
+    plus two wide gathers of n_targets rows (gathers cost the same
+    regardless of row width).
+
+    Why int32: a global f32 prefix sum over millions of updates reaches
+    magnitudes where ulp is ~0.01-0.1, and a segment total formed as the
+    difference of two large prefix values loses that much absolutely per
+    pixel (measured 0.13 max error at 2.8M updates).  Quantizing each
+    value to 2^-18 and summing in int32 makes the difference EXACT under
+    wraparound arithmetic (valid while a single pixel's channel total
+    stays below 2^13 - far above radiance splats).  The only deviation
+    from the direct mode is the 2^-18 quantization.
+
+    Layout: pos = scatter-max of sort positions = each pixel's segment-end
+    row.  Gather 1 (at pos): [seg_start, cs_r, cs_g, cs_b(, cs_a)] - at
+    the segment end the inclusive prefix IS the end sum.  Gather 2 (at
+    seg_start): exclusive prefixes.  Totals = wrap-exact difference;
+    alpha(count) = pos - seg_start + 1.
 
     alpha_is_count=True asserts every kept update has alpha==1 (true for
-    the estimator-2 splats: alpha is the `ok` flag and !ok updates are
-    dropped via lin>=n_targets), so alpha drops out of the sort and the
-    segment total is just the segment size.
+    the estimator-2 splats); general alphas ride as a fourth quantized
+    channel.
     """
     n = lin.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -80,34 +96,45 @@ def scatter_add_rgba_packed(lin, rgb, alpha, n_targets: int,
         ls, r, g, b = jax.lax.sort(
             [keys, rgb[:, 0], rgb[:, 1], rgb[:, 2]], num_keys=1
         )
+        chans = (r, g, b)
     else:
         ls, r, g, b, a = jax.lax.sort(
             [keys, rgb[:, 0], rgb[:, 1], rgb[:, 2], alpha], num_keys=1
         )
+        chans = (r, g, b, a)
     is_first = jnp.concatenate([jnp.ones((1,), bool), ls[1:] != ls[:-1]])
 
-    def segment_totals(v):
-        cs = jnp.cumsum(v)
-        start_excl = jnp.where(is_first, cs - v, 0.0)
-        carried = jax.lax.cummax(start_excl)
-        return cs - carried
+    scale = jnp.float32(1 << _PACKED_SCALE_BITS)
+    cs_incl, cs_excl = [], []
+    for v in chans:
+        vi = jnp.round(v * scale).astype(jnp.int32)
+        ci = jnp.cumsum(vi)          # int32; differences are wrap-exact
+        cs_incl.append(ci)
+        cs_excl.append(ci - vi)
+    seg_start = jax.lax.cummax(jnp.where(is_first, iota, 0))
 
-    if alpha_is_count:
-        seg_start = jax.lax.cummax(jnp.where(is_first, iota, 0))
-        a_tot = (iota - seg_start + 1).astype(jnp.float32)
-    else:
-        a_tot = segment_totals(a)
-    tot = jnp.stack(
-        [segment_totals(r), segment_totals(g), segment_totals(b), a_tot], -1
-    )
-    tot = jnp.concatenate([tot, jnp.zeros((1, 4), jnp.float32)], 0)
+    # one shared table: [seg_start, inclusive prefixes..., exclusive
+    # prefixes...]; read at the segment END row (gather 1: start + end
+    # sums) and at the segment START row (gather 2: exclusive sums)
+    c = len(chans)
+    tab = jnp.stack([seg_start] + cs_incl + cs_excl, -1)  # [n, 1+2C] i32
 
     pos = (
         jnp.full((n_targets,), -1, jnp.int32)
         .at[ls]
         .max(iota, mode="drop", indices_are_sorted=True)
     )
-    return tot[jnp.where(pos < 0, n, pos)]
+    empty = pos < 0
+    pos_c = jnp.where(empty, 0, pos)
+    row_end = tab[pos_c]
+    start = row_end[:, 0]
+    row_start = tab[start]
+    tot_i = row_end[:, 1:1 + c] - row_start[:, 1 + c:]   # wrap-exact
+    tot = tot_i.astype(jnp.float32) / scale
+    if alpha_is_count:
+        count = (pos_c - start + 1).astype(jnp.float32)
+        tot = jnp.concatenate([tot, count[:, None]], -1)
+    return jnp.where(empty[:, None], 0.0, tot)
 
 
 def scatter_add_rgba_complex(lin, rgb, alpha, n_targets: int):
