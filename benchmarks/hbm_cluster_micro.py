@@ -57,7 +57,7 @@ def main():
     d_i = rs.normal(size=(N, 3)).astype(np.float32)
     d_i = jnp.asarray(d_i / np.linalg.norm(d_i, axis=1, keepdims=True))
 
-    pack = pc.pack_tris_cluster(baked.tris)
+    pack = pc.pack_tris_cluster_hbm(baked.tris)
     aabbs = pc.pack_cluster_aabbs(baked.tris)
     out = [None]
 

@@ -101,6 +101,15 @@ def pack_tris_cluster(tris: TriSoA, ck: int = CK):
     return pack
 
 
+def pack_tris_cluster_hbm(tris: TriSoA, ck: int = CK):
+    """[C*ck, 128] pack for the HBM-paged tier: Mosaic DMA slices must be
+    lane-aligned (128), so the 16 Baldwin-Weber columns are padded to a
+    full lane tile (512 B/tri in HBM — bandwidth is not the bottleneck,
+    the per-cluster DMA latency is)."""
+    pack = pack_tris_cluster(tris, ck)
+    return jnp.pad(pack, ((0, 0), (0, 128 - pack.shape[1])))
+
+
 # ----------------------------------------------------------------- kernels
 def _ray_tiles(r_ref):
     """Load the 8 ray-field rows as [S, 128] tiles."""
@@ -675,7 +684,7 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
         out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((S, LANE), jnp.float32),
-            pltpu.VMEM((ck, 16), jnp.float32),   # DMA landing block
+            pltpu.VMEM((ck, 128), jnp.float32),  # DMA landing block (lane-padded)
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -711,7 +720,7 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
             pltpu.VMEM((S, LANE), jnp.float32),
             pltpu.VMEM((S, LANE), jnp.int32),
             pltpu.VMEM((S, 12, LANE), jnp.float32),
-            pltpu.VMEM((ck, 16), jnp.float32),   # DMA landing block
+            pltpu.VMEM((ck, 128), jnp.float32),  # DMA landing block (lane-padded)
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -727,7 +736,7 @@ def occluded_clusters_hbm(tris, origin, direction, t_min, t_max=None,
     shape = origin.shape[:-1]
     rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
     if tri_pack is None:
-        tri_pack = pack_tris_cluster(tris, ck)
+        tri_pack = pack_tris_cluster_hbm(tris, ck)
     if aabbs is None:
         aabbs = pack_cluster_aabbs(tris, ck)
     hits = _launch_cluster_occlusion_hbm(
@@ -755,7 +764,7 @@ def intersect_closest_clusters_hbm(
     shape = origin.shape[:-1]
     rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
     if tri_pack is None:
-        tri_pack = pack_tris_cluster(tris, ck)
+        tri_pack = pack_tris_cluster_hbm(tris, ck)
     if aabbs is None:
         aabbs = pack_cluster_aabbs(tris, ck)
     out = _launch_cluster_closest_hbm(

@@ -20,8 +20,9 @@ gOutput[id] RMW, BDPTMain.rt.hlsl:199, stays a deterministic scatter).
 
 Scope (static gating, `supports_megakernel`): untextured materials
 (path vertices use lod-0 constants, matching BDPTUtils.hlsli:6 — textured
-scenes fall back to the wavefront), 1x1 (constant) env probe, pinhole
-camera, uniform connection weighting, scene small enough for VMEM.
+scenes fall back to the wavefront), 1x1 (constant) env probe, pinhole or
+thin-lens camera, uniform connection weighting, scene small enough for
+VMEM.
 
 RNG parity: the TEA/LCG sequences replicate passes.bdpt draw-for-draw, so
 the megakernel and the wavefront produce the same Monte-Carlo estimates up
@@ -63,7 +64,11 @@ _C_JX = 18        # pixel jitter x
 _C_JY = 19        # pixel jitter y
 _C_ENV = 20       # 20:23 constant env color
 _C_LCNT = 23      # light count (float)
-NSCAL = 24
+_C_LENSR = 24     # thin-lens radius (0 = pinhole)
+_C_FOCAL = 25     # thin-lens focal length
+_C_UN = 26        # 26:29 normalize(cameraU)
+_C_VN = 29        # 29:32 normalize(cameraV)
+NSCAL = 32
 
 # light-row layout (light_ref, SMEM [L_pad, NLROW])
 _L_POS = 0        # 0:3
@@ -500,7 +505,7 @@ def _vertex_where(mask, a, b):
 
 def frame_kernel(
     scal_ref,      # SMEM [1, NSCAL] f32
-    iscal_ref,     # SMEM [1, 3] i32: bdpt_frame, light_count, pixel offset
+    iscal_ref,     # SMEM [1, 4] i32: bdpt_frame, light_count, pix offset, gbuf_frame
     light_ref,     # SMEM [L_pad, NLROW] f32
     ndc_ref,       # VMEM [2, S, 128] f32 base ndc (jitter-free)
     tri_ref,       # VMEM [T_pad, 48] f32
@@ -508,7 +513,7 @@ def frame_kernel(
     *,
     bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
-    enable_e1, enable_e2, enable_e3, emit_gbuffer,
+    enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens,
 ):
     shape = (S, LANE)
     n_pix = width * height
@@ -548,11 +553,35 @@ def frame_kernel(
         ndc_x * cam_u[2] + ndc_y * cam_v3[2] + cam_w[2],
     )
     d_raw = _scale3(d_raw, inv_wlen)
-    prim_dir = _normed(d_raw)
-    origin0 = tuple(jnp.full(shape, c, jnp.float32) for c in cam_pos)
+    cam_tiles = tuple(jnp.full(shape, c, jnp.float32) for c in cam_pos)
     zero_t = jnp.zeros(shape, jnp.float32)
+    if use_thin_lens:
+        # lightProbeGBuffer.rt.hlsl:119-145: lens origin from the G-buffer
+        # pass's own RNG stream, direction through the focal point
+        gbuf_u32 = iscal_ref[0, 3].astype(jnp.uint32)
+        gseed = _tea16(
+            pltpu.bitcast(lin, jnp.uint32), jnp.broadcast_to(gbuf_u32, shape)
+        )
+        gseed, u0 = _next_rand(gseed)
+        gseed, u1 = _next_rand(gseed)
+        lens_r = scal_ref[0, _C_LENSR]
+        focal = scal_ref[0, _C_FOCAL]
+        theta = 2.0 * M_PI * u0
+        r = lens_r * u1
+        lx = r * jnp.cos(theta)
+        ly = r * jnp.sin(theta)
+        u_n = tuple(scal_ref[0, _C_UN + k] for k in range(3))
+        v_n = tuple(scal_ref[0, _C_VN + k] for k in range(3))
+        origin0 = tuple(
+            cam_tiles[k] + lx * u_n[k] + ly * v_n[k] for k in range(3)
+        )
+        focal_pt = _add3(cam_tiles, _scale3(d_raw, focal))
+        prim_dir = _normed(_sub3(focal_pt, origin0))
+    else:
+        origin0 = cam_tiles
+        prim_dir = _normed(d_raw)
     tr = _trace_rows(tri_ref, bounds, n_tris, origin0, prim_dir, zero_t, True)
-    sd = _decode_shading(tr, origin0)
+    sd = _decode_shading(tr, cam_tiles)
     valid = tr["hit"] & lane_ok
 
     world_pos = _where3(valid, sd["pos"], (zero_t,) * 3)
@@ -563,7 +592,9 @@ def frame_kernel(
     lrough = jnp.where(valid, sd["lrough"], 0.0)
     rough = lrough * lrough
     emis = _where3(valid, sd["emissive"], (zero_t,) * 3)
-    v_tiles = _normed(_sub3(origin0, world_pos))
+    # camera-vertex view vector uses the pinhole position even under thin
+    # lens (passes.bdpt: v = normalize(cam.pos_w - world_pos))
+    v_tiles = _normed(_sub3(cam_tiles, world_pos))
 
     seed = _tea16(
         pltpu.bitcast(lin, jnp.uint32), jnp.broadcast_to(frame_u32, shape)
@@ -874,13 +905,14 @@ def out_rows(d_max: int, enable_e2: bool, emit_gbuffer: bool) -> int:
 @functools.partial(jax.jit, static_argnames=(
     "bounds", "n_tris", "l_pad", "width", "height", "sub_pixels", "d_max",
     "mat_model", "faithful_rng", "reference_quirks", "min_t", "clamp_upper",
-    "enable_e1", "enable_e2", "enable_e3", "emit_gbuffer", "interpret",
+    "enable_e1", "enable_e2", "enable_e3", "emit_gbuffer", "use_thin_lens",
+    "interpret",
 ))
 def _launch_frame(
     scal, iscal, light_rows, ndc, tri_pack,
     bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
-    enable_e1, enable_e2, enable_e3, emit_gbuffer, interpret,
+    enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens, interpret,
 ):
     n_pad = ((sub_pixels + S * LANE - 1) // (S * LANE)) * (S * LANE)
     n_cols = n_pad // LANE
@@ -893,13 +925,14 @@ def _launch_frame(
         reference_quirks=reference_quirks, min_t=min_t,
         clamp_upper=clamp_upper, enable_e1=enable_e1, enable_e2=enable_e2,
         enable_e3=enable_e3, emit_gbuffer=emit_gbuffer,
+        use_thin_lens=use_thin_lens,
     )
     return pl.pallas_call(
         kernel,
         grid=(n_cols // S,),
         in_specs=[
             pl.BlockSpec((1, NSCAL), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(light_rows.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((2, S, LANE), lambda i: (0, i, 0),
@@ -935,7 +968,6 @@ def supports_megakernel(baked, cfg, max_tris: int = 2048) -> bool:
         and tuple(data.textures.data.shape[:2]) == (1, 1)  # dummy atlas
         and not getattr(baked, "has_alpha", False)
         and cfg.bdpt.connection_weight == "uniform"
-        and not cfg.gbuffer.use_thin_lens
         and cfg.bdpt.max_depth >= 1
     )
 
@@ -944,7 +976,7 @@ def render_frame_megakernel(
     baked, width: int, height: int, bdpt_frame, pixel_jitter, cfg,
     tri_pack=None, interpret: bool | None = None,
     sub_height: int | None = None, pixel_offset=None, ndc_rows=None,
-    axis_name: str | None = None,
+    axis_name: str | None = None, gbuf_frame=0,
 ):
     """Run the megakernel; returns (channels dict, frame_img [H,W,4]).
 
@@ -980,6 +1012,11 @@ def render_frame_megakernel(
         tri_pack = pack_shaded_tris_lane(baked.tris, data.materials)
     bounds = chunk_bounds(tri_pack.shape[0])
 
+    gcfg = cfg.gbuffer
+    use_thin_lens = bool(gcfg.use_thin_lens)
+    lens_radius = (
+        gcfg.focal_length_gui / (2.0 * gcfg.f_stop) if use_thin_lens else 0.0
+    )
     scal = jnp.concatenate([
         cam.pos_w, cam.camera_u, cam.camera_v, cam.camera_w,
         cam.camera_w / jnp.linalg.norm(cam.camera_w),
@@ -991,13 +1028,17 @@ def render_frame_megakernel(
         ]),
         data.env_map[0, 0, :3],
         lights.count.astype(jnp.float32)[None],
+        jnp.asarray([lens_radius, gcfg.focal_length_gui], jnp.float32),
+        cam.camera_u / jnp.linalg.norm(cam.camera_u),
+        cam.camera_v / jnp.linalg.norm(cam.camera_v),
     ]).astype(jnp.float32)[None, :]
     pix0 = (
         jnp.asarray(0, jnp.int32) if pixel_offset is None
         else jnp.asarray(pixel_offset).astype(jnp.int32)
     )
     iscal = jnp.stack([
-        jnp.asarray(bdpt_frame).astype(jnp.int32), lights.count, pix0
+        jnp.asarray(bdpt_frame).astype(jnp.int32), lights.count, pix0,
+        jnp.asarray(gbuf_frame).astype(jnp.int32),
     ])[None, :]
     light_rows = jnp.concatenate([
         lights.pos_w, lights.dir_w, lights.intensity,
@@ -1021,7 +1062,7 @@ def render_frame_megakernel(
         bcfg.mat_model, bcfg.faithful_rng, bcfg.reference_quirks,
         float(bcfg.min_t), float(bcfg.clamp_upper),
         bcfg.enable_path_tracing, bcfg.enable_light_tracing,
-        bcfg.enable_connections, True, interpret,
+        bcfg.enable_connections, True, use_thin_lens, interpret,
     )
 
     def img(row0, n=4):

@@ -322,7 +322,10 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
         from . import pallas_cluster as pc
 
         aabbs = pc.pack_cluster_aabbs(tris)
-        occ_pack = pc.pack_tris_cluster(tris)
+        occ_pack = (
+            pc.pack_tris_cluster_hbm(tris) if hbm_tier
+            else pc.pack_tris_cluster(tris)
+        )
         shaded_pack = (
             pc.pack_shaded_tris_cluster(tris, materials)
             if materials is not None and n_tris <= cluster_threshold

@@ -127,7 +127,7 @@ def sharded_megakernel_step(cfg, mesh: Mesh, interpret: bool | None = None):
         channels, frame_img = pf.render_frame_megakernel(
             scene, w, h, bdpt_frame, jitter, cfg,
             interpret=interpret, sub_height=sub_h, pixel_offset=pix0,
-            ndc_rows=ndc, axis_name=ROW_AXIS,
+            ndc_rows=ndc, axis_name=ROW_AXIS, gbuf_frame=gbuf_frame,
         )
         accum, accum_img = accumulate(
             accum, frame_img, cfg.accumulate.max_accum_count, reset=reset

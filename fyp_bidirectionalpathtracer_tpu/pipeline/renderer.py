@@ -72,6 +72,7 @@ def render_frame_fn(
         channels, frame_img = render_frame_megakernel(
             scene, cfg.width, cfg.height, bdpt_frame, jitter, cfg,
             interpret=None if mk == "auto" else jax.default_backend() != "tpu",
+            gbuf_frame=gbuf_frame,
         )
     else:
         intersect = scene.intersector()

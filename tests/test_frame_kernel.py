@@ -88,6 +88,38 @@ def test_megakernel_matches_wavefront_variants(cornell, bcfg):
     assert abs(img_mk[..., :3].mean() - img[..., :3].mean()) < 5e-3
 
 
+def test_megakernel_thin_lens_matches_wavefront(cornell):
+    """Thin-lens primary rays (lens origin from the G-buffer RNG stream,
+    direction through the focal point) must match the wavefront path."""
+    from fyp_bidirectionalpathtracer_tpu.utils.config import GBufferConfig
+
+    gcfg = GBufferConfig(use_thin_lens=True, f_stop=8.0, focal_length_gui=1.5)
+    cfg = RenderConfig(width=W, height=H, bdpt=BDPTConfig(), gbuffer=gcfg)
+    assert supports_megakernel(cornell, cfg)
+    frame = jnp.uint32(0x1337)
+    gframe = jnp.uint32(0xDEADBEEF)
+    jit = gbuffer_mod.pixel_jitter_for_frame(frame, "msaa8")
+    ch_mk, img_mk = render_frame_megakernel(
+        cornell, W, H, frame, jit, cfg, interpret=True, gbuf_frame=gframe
+    )
+    trace = make_shaded_tracer(cornell)
+    lens_radius = gcfg.focal_length_gui / (2.0 * gcfg.f_stop)
+    ch = gbuffer_mod.ray_traced_gbuffer(
+        cornell, trace, W, H, gframe, jit, use_thin_lens=True,
+        lens_radius=lens_radius, focal_len=gcfg.focal_length_gui,
+    )
+    img = bdpt_mod.bdpt_pass(
+        cornell, cornell.intersector(), ch, frame, jit, cfg.bdpt, trace=trace
+    )
+    img_mk, img = np.asarray(img_mk), np.asarray(img)
+    for key in ("WorldPosition", "WorldNormal"):
+        d = np.abs(np.asarray(ch_mk[key]) - np.asarray(ch[key])).max(-1)
+        assert (d > 1e-3).mean() < 0.02, (key, (d > 1e-3).mean())
+    d = np.abs(img_mk - img).max(-1)
+    assert (d > 1e-3).mean() < 0.08
+    assert abs(img_mk[..., :3].mean() - img[..., :3].mean()) < 5e-3
+
+
 def test_megakernel_in_pipeline(cornell):
     """render_frame_fn with megakernel='on' runs the full frame (interpret)
     and produces the same accumulated output statistics as 'off'."""
