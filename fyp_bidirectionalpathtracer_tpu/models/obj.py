@@ -157,3 +157,48 @@ def load_obj(path: str):
             vn[missing] = acc[missing]
         meshes.append(MeshData(vp, vn, vt, idx, mat_id))
     return meshes, materials
+
+def save_mtl(path: str, materials: list) -> None:
+    """Write an MTL with the keys load_mtl understands (Kd/Ks/Ns/Ke/d/Ni)."""
+    with open(path, "w") as fh:
+        for i, m in enumerate(materials):
+            name = m.name if m.name != "default" or i == 0 else f"mat{i}"
+            fh.write(f"newmtl {name}\n")
+            fh.write("Kd {:.6f} {:.6f} {:.6f}\n".format(*m.base_color[:3]))
+            fh.write("Ks {:.6f} {:.6f} {:.6f}\n".format(*m.specular[:3]))
+            fh.write(f"Ns {1000.0 * m.specular[3] ** 2:.4f}\n")
+            fh.write("Ke {:.6f} {:.6f} {:.6f}\n".format(*m.emissive))
+            fh.write(f"d {m.base_color[3]:.6f}\n")
+            fh.write(f"Ni {m.ior:.6f}\n\n")
+
+
+def save_obj(path: str, meshes: list, materials: list) -> None:
+    """Write meshes (already world-space) as one OBJ + MTL pair — the
+    geometry half of the .fscene exporter (the reference exports model file
+    references only, SceneExporter.cpp; we cannot write FBX, so geometry
+    round-trips through OBJ)."""
+    mtl_path = os.path.splitext(path)[0] + ".mtl"
+    save_mtl(mtl_path, materials)
+
+    def mat_name(i):
+        m = materials[i]
+        return m.name if m.name != "default" or i == 0 else f"mat{i}"
+
+    with open(path, "w") as fh:
+        fh.write(f"mtllib {os.path.basename(mtl_path)}\n")
+        voff = 1
+        for mi, mesh in enumerate(meshes):
+            fh.write(f"o mesh{mi}\n")
+            fh.write(f"usemtl {mat_name(mesh.material)}\n")
+            for p in np.asarray(mesh.positions, np.float32):
+                fh.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+            for n in np.asarray(mesh.normals, np.float32):
+                fh.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+            for t in np.asarray(mesh.uvs, np.float32):
+                fh.write(f"vt {t[0]:.6f} {t[1]:.6f}\n")
+            for f in np.asarray(mesh.indices, np.int64) + voff:
+                fh.write(
+                    f"f {f[0]}/{f[0]}/{f[0]} {f[1]}/{f[1]}/{f[1]} "
+                    f"{f[2]}/{f[2]}/{f[2]}\n"
+                )
+            voff += len(mesh.positions)

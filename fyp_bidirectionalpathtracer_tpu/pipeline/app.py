@@ -58,6 +58,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", type=int, default=0,
                    help="shard the frame by rows over N devices "
                         "(0 = single device)")
+    p.add_argument("--export-scene", default="",
+                   help="write the loaded scene to this .fscene path "
+                        "(SceneExporter analogue; geometry as OBJ sidecar)")
     return p
 
 
@@ -122,6 +125,11 @@ def main(argv=None) -> dict:
     )
 
     scene = load_scene(args.scene)
+    if args.export_scene:
+        from ..scene.fscene import save_fscene
+
+        scene.apply_default_fixups()
+        save_fscene(scene, args.export_scene)
     max_lights = max(16, len(scene.lights))
     baked = scene.bake(max_lights=max_lights)
     mesh = None

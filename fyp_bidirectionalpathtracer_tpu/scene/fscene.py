@@ -123,3 +123,97 @@ def load_fscene(path: str, allow_missing_models: bool = True) -> Scene:
 
     scene.apply_default_fixups()
     return scene
+
+def save_fscene(scene: Scene, path: str, write_geometry: bool = True) -> None:
+    """.fscene (v2 JSON) writer — the SceneExporter analogue
+    (Falcor Graphics/Scene/SceneExporter.cpp).  Geometry is written as an
+    OBJ+MTL sidecar referenced by a single identity-instanced model entry
+    (the reference references its source FBX; we cannot write FBX), so
+    save -> load_fscene round-trips the full scene."""
+    base = os.path.dirname(os.path.abspath(path))
+    os.makedirs(base, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    doc: dict = {
+        "version": 2,
+        "camera_speed": float(scene.camera_speed),
+        "lighting_scale": float(scene.lighting_scale),
+        "active_camera": "Camera0",
+    }
+
+    if write_geometry and scene.meshes:
+        from ..models.obj import save_obj
+
+        obj_name = stem + ".obj"
+        save_obj(os.path.join(base, obj_name), scene.meshes, scene.materials)
+        doc["models"] = [
+            {
+                "file": obj_name,
+                "name": stem,
+                "instances": [
+                    {
+                        "name": stem + "0",
+                        "translation": [0.0, 0.0, 0.0],
+                        "scaling": [1.0, 1.0, 1.0],
+                        "rotation": [0.0, 0.0, 0.0],
+                    }
+                ],
+            }
+        ]
+
+    lights = []
+    for l in scene.lights:
+        is_dir = l.get("type") == "dir"
+        entry: dict = {
+            "name": f"{'dirLight' if is_dir else 'pointLight'}{len(lights)}",
+            "type": "dir_light" if is_dir else "point_light",
+            "intensity": [float(x) for x in l.get("intensity", (1, 1, 1))],
+            "direction": [float(x) for x in l.get("dir", (0, -1, 0))],
+        }
+        if not is_dir:
+            entry["pos"] = [float(x) for x in l.get("pos", (0, 0, 0))]
+            entry["opening_angle"] = float(
+                np.rad2deg(l.get("opening_angle", np.pi))
+            )
+            entry["penumbra_angle"] = float(
+                np.rad2deg(l.get("penumbra_angle", 0.0))
+            )
+        lights.append(entry)
+    doc["lights"] = lights
+
+    if scene.camera is not None:
+        cam = scene.camera
+        doc["cameras"] = [
+            {
+                "name": "Camera0",
+                "pos": [float(x) for x in np.asarray(cam.pos_w)],
+                "target": [float(x) for x in np.asarray(cam.target)],
+                "up": [float(x) for x in np.asarray(cam.up)],
+                "focal_length": float(cam.focal_length),
+                "depth_range": [float(cam.near_z), float(cam.far_z)],
+                "aspect_ratio": float(cam.aspect),
+            }
+        ]
+
+    if scene.camera_paths:
+        doc["paths"] = [
+            {
+                "name": p.name,
+                "loop": bool(p.loop),
+                "attached_objects": [
+                    {"type": "camera", "name": "Camera0"}
+                ],
+                "frames": [
+                    {
+                        "time": float(f.time),
+                        "pos": [float(x) for x in f.pos],
+                        "target": [float(x) for x in f.target],
+                        "up": [float(x) for x in f.up],
+                    }
+                    for f in p.frames
+                ],
+            }
+            for p in scene.camera_paths
+        ]
+
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)

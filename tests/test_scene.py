@@ -145,3 +145,43 @@ def test_pink_room_fscene_parses_with_standin():
     assert scene.camera is not None
     assert len(scene.camera_paths) == 1
     assert scene.n_triangles() > 0  # stand-in geometry substituted for FBX
+
+
+def test_fscene_save_load_roundtrip(tmp_path):
+    """save_fscene (SceneExporter analogue) -> load_fscene preserves
+    geometry, materials, lights, camera, and paths."""
+    import numpy as np
+
+    from fyp_bidirectionalpathtracer_tpu.models.procedural import cornell_box
+    from fyp_bidirectionalpathtracer_tpu.scene import animation
+    from fyp_bidirectionalpathtracer_tpu.scene.fscene import (
+        load_fscene,
+        save_fscene,
+    )
+    from fyp_bidirectionalpathtracer_tpu.scene.scene import Scene
+
+    src = Scene.from_built(cornell_box())
+    src.apply_default_fixups()
+    src.camera_paths.append(animation.Path(
+        name="orbit", loop=True,
+        frames=[
+            animation.Keyframe(0.0, np.zeros(3), np.ones(3), np.asarray([0., 1., 0.])),
+            animation.Keyframe(2.0, np.ones(3), np.zeros(3), np.asarray([0., 1., 0.])),
+        ],
+    ))
+    path = str(tmp_path / "export" / "scene.fscene")
+    save_fscene(src, path)
+
+    dst = load_fscene(path, allow_missing_models=False)
+    assert sum(len(m.indices) for m in dst.meshes) == src.n_triangles()
+    assert len(dst.lights) == len(src.lights)
+    np.testing.assert_allclose(
+        np.asarray(dst.camera.pos_w), np.asarray(src.camera.pos_w), atol=1e-4
+    )
+    assert len(dst.camera_paths) == 1
+    assert dst.camera_paths[0].frames[1].time == 2.0
+    # material colors survive the MTL round trip
+    kinds = {tuple(np.round(m.base_color[:3], 3)) for m in dst.materials}
+    assert (0.0, 1.0, 0.0) in kinds or any(
+        abs(c[1] - max(c)) < 1e-3 and c[1] > 0.4 for c in kinds
+    )
