@@ -103,6 +103,23 @@ def main():
         dt = timeit(run4, lambda: float(out[0][0]))
         print(f"lean closest {tag:10s} : {dt:8.2f} ms/1M rays", flush=True)
 
+    # Morton-sorted incoherent wavefronts (ops.raysort via coherent=False)
+    isect = traverse.make_intersector(
+        baked.data.bvh, baked.tris, materials=baked.data.materials)
+    fs = jax.jit(lambda o, d: isect(o, d, 1e-3, closest=True,
+                                    coherent=False).t)
+    def run5():
+        out[0] = fs(o_i, d_i)
+    dt = timeit(run5, lambda: float(out[0][0]))
+    print(f"sorted closest incoher.  : {dt:8.2f} ms/1M rays", flush=True)
+    gs = jax.jit(lambda o, d: isect(
+        o, d, 1e-3, t_max=jnp.full((N,), 2.0), closest=False,
+        coherent=False).hit.astype(jnp.float32))
+    def run6():
+        out[0] = gs(o_i, d_i)
+    dt = timeit(run6, lambda: float(out[0][0]))
+    print(f"sorted any-hit incoher.  : {dt:8.2f} ms/1M rays", flush=True)
+
     # jnp lockstep BVH (the previous TPU medium-scene path)
     h = jax.jit(lambda o, d: traverse.intersect_bvh(
         baked.data.bvh, baked.tris, o, d, 1e-3).t)

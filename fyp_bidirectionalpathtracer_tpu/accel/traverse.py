@@ -293,7 +293,8 @@ CLUSTER_HBM_THRESHOLD = 1 << 20  # HBM-paged tier; AABBs (32 B/cluster) in SMEM
 
 def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                      materials=None, cluster_threshold: int = CLUSTER_THRESHOLD,
-                     cluster_occ_threshold: int = CLUSTER_OCC_THRESHOLD):
+                     cluster_occ_threshold: int = CLUSTER_OCC_THRESHOLD,
+                     force_cluster: bool = False):
     """Pick the intersection path once, at trace (host) time, by scene size.
 
     Small scenes take the dense Pallas kernels on TPU — every triangle stays
@@ -311,15 +312,19 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
 
     n_tris = int(np.asarray(tris.v0.shape[0]))
     on_tpu = PALLAS_ENABLED and jax.default_backend() == "tpu"
-    use_brute = n_tris <= brute_threshold
+    use_brute = n_tris <= brute_threshold and not force_cluster
     use_pallas = use_brute and on_tpu
-    use_cluster = (not use_brute) and n_tris <= CLUSTER_HBM_THRESHOLD and on_tpu
+    use_cluster = (not use_brute) and n_tris <= CLUSTER_HBM_THRESHOLD and (
+        on_tpu or force_cluster
+    )
     hbm_tier = n_tris > cluster_occ_threshold
+    interp = jax.default_backend() != "tpu"
     tri_pack = pack_triangles(tris) if use_pallas else None
     tri_pack_lane = pack_tris_lane(tris) if use_pallas else None
 
     if use_cluster:
         from . import pallas_cluster as pc
+        from ..ops.raysort import make_permutation, ray_sort_keys, scene_bounds
 
         aabbs = pc.pack_cluster_aabbs(tris)
         occ_pack = (
@@ -340,13 +345,40 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
             else pc.intersect_closest_clusters
         )
 
+        def sort_wavefront(origin, direction, t_max):
+            """Morton-sort an incoherent wavefront (ops.raysort): returns
+            (o, d, t_max, inv) flat in sorted order."""
+            shape = origin.shape[:-1]
+            o = origin.reshape(-1, 3)
+            d = direction.reshape(-1, 3)
+            lo, hi = scene_bounds(tris)
+            perm, inv = make_permutation(ray_sort_keys(o, d, lo, hi))
+            if t_max is None:
+                tm = jnp.full((o.shape[0], 1), 1e30, jnp.float32)
+            else:
+                tm = jnp.broadcast_to(
+                    jnp.asarray(t_max, jnp.float32), shape
+                ).reshape(-1, 1)
+            packed = jnp.concatenate([o, d, tm], -1)[perm]
+            return packed[:, :3], packed[:, 3:6], packed[:, 6], inv, shape
+
         def intersect(origin, direction, t_min, t_max=None, closest=True,
-                      cull_backface=False):
+                      cull_backface=False, coherent=True):
             if not closest:
-                occ = occluded_fn(
-                    tris, origin, direction, t_min, t_max,
-                    tri_pack=occ_pack, aabbs=aabbs, interpret=False,
-                )
+                if coherent:
+                    occ = occluded_fn(
+                        tris, origin, direction, t_min, t_max,
+                        tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
+                    )
+                else:
+                    o, d, tm, inv, shape = sort_wavefront(
+                        origin, direction, t_max
+                    )
+                    occ_s = occluded_fn(
+                        tris, o, d, t_min, tm,
+                        tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
+                    )
+                    occ = occ_s[inv].reshape(shape)
                 zero = jnp.zeros(occ.shape, jnp.float32)
                 return HitRecord(
                     t=jnp.where(occ, zero, _BIG),
@@ -354,20 +386,40 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     bary_u=zero,
                     bary_v=zero,
                 )
-            if shaded_pack is not None:
-                hit, _ = pc.intersect_shaded_clusters(
-                    tris, shaded_pack, aabbs, origin, direction, t_min,
-                    t_max, cull_backface, interpret=False,
+
+            def run_closest(o, d, tm):
+                if shaded_pack is not None:
+                    hit, _ = pc.intersect_shaded_clusters(
+                        tris, shaded_pack, aabbs, o, d, t_min,
+                        tm, cull_backface, interpret=interp,
+                    )
+                    return hit
+                return closest_lean_fn(
+                    tris, o, d, t_min, tm, cull_backface,
+                    tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
                 )
-                return hit
-            return closest_lean_fn(
-                tris, origin, direction, t_min, t_max, cull_backface,
-                tri_pack=occ_pack, aabbs=aabbs, interpret=False,
+
+            if coherent:
+                return run_closest(origin, direction, t_max)
+            o, d, tm, inv, shape = sort_wavefront(origin, direction, t_max)
+            hit_s = run_closest(o, d, tm)
+            packed = jnp.stack(
+                [hit_s.t, hit_s.tri.astype(jnp.float32),
+                 hit_s.bary_u, hit_s.bary_v], -1,
+            )[inv]
+            tri = packed[..., 1].astype(jnp.int32).reshape(shape)
+            return HitRecord(
+                t=packed[..., 0].reshape(shape),
+                tri=tri,
+                bary_u=packed[..., 2].reshape(shape),
+                bary_v=packed[..., 3].reshape(shape),
             )
 
         return intersect
 
-    def intersect(origin, direction, t_min, t_max=None, closest=True, cull_backface=False):
+    def intersect(origin, direction, t_min, t_max=None, closest=True,
+                  cull_backface=False, coherent=True):
+        del coherent  # dense/jnp paths are insensitive to ray order
         if use_pallas:
             if not closest and not cull_backface:
                 # shadow rays: any-hit kernel, ray-in-lanes layout

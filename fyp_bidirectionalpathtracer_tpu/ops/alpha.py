@@ -70,16 +70,18 @@ def wrap_intersector(baked, intersect, max_restarts: int = 4):
     atlas = baked.data.textures
 
     def intersect_alpha(origin, direction, t_min, t_max=None, closest=True,
-                        cull_backface=False):
+                        cull_backface=False, coherent=True):
         tmin = jnp.broadcast_to(
             jnp.asarray(t_min, jnp.float32), origin.shape[:-1]
         )
-        hit = intersect(origin, direction, tmin, t_max, True, cull_backface)
+        hit = intersect(origin, direction, tmin, t_max, True, cull_backface,
+                        coherent=coherent)
         for _ in range(max_restarts):
             fail = _alpha_fails(tris, materials, atlas, hit, origin, direction)
             tmin = jnp.where(fail, _push_tmin(hit, tmin), tmin)
             hit2 = intersect(
-                origin, direction, tmin, t_max, True, cull_backface
+                origin, direction, tmin, t_max, True, cull_backface,
+                coherent=coherent,
             )
             hit = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(fail, a, b), hit2, hit
@@ -108,16 +110,18 @@ def wrap_tracer(baked, trace, max_restarts: int = 4):
         return hit.hit & (base[..., 3] < materials.alpha_threshold[m])
 
     def trace_alpha(origin, direction, t_min, view_origin,
-                    cull_backface=False):
+                    cull_backface=False, coherent=True):
         tmin = jnp.broadcast_to(
             jnp.asarray(t_min, jnp.float32), origin.shape[:-1]
         )
-        hit, sd = trace(origin, direction, tmin, view_origin, cull_backface)
+        hit, sd = trace(origin, direction, tmin, view_origin, cull_backface,
+                        coherent=coherent)
         for _ in range(max_restarts):
             fail = fails(hit, sd)
             tmin = jnp.where(fail, _push_tmin(hit, tmin), tmin)
             hit2, sd2 = trace(
-                origin, direction, tmin, view_origin, cull_backface
+                origin, direction, tmin, view_origin, cull_backface,
+                coherent=coherent,
             )
 
             def sel(a, b):

@@ -246,19 +246,44 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
 
     if use_cluster:
         from ..accel.pallas_cluster import (
+            OUT_W,
             intersect_shaded_clusters,
             pack_cluster_aabbs,
             pack_shaded_tris_cluster,
         )
+        from ..accel.traverse import HitRecord as _HitRecord
+        from .raysort import make_permutation, ray_sort_keys, scene_bounds
 
         pack = pack_shaded_tris_cluster(baked.tris, baked.data.materials)
         aabbs = pack_cluster_aabbs(baked.tris)
 
-        def trace(origin, direction, t_min, view_origin, cull_backface=False):
-            hit, fields = intersect_shaded_clusters(
-                baked.tris, pack, aabbs, origin, direction, t_min,
-                cull_backface=cull_backface, interpret=False,
-            )
+        def trace(origin, direction, t_min, view_origin, cull_backface=False,
+                  coherent=True):
+            if not coherent:
+                # Morton-sort the wavefront so cluster AABB culling sees
+                # coherent tiles (ops.raysort); ONE packed gather each way
+                shape = origin.shape[:-1]
+                o = origin.reshape(-1, 3)
+                d = direction.reshape(-1, 3)
+                lo, hi = scene_bounds(baked.tris)
+                perm, inv = make_permutation(ray_sort_keys(o, d, lo, hi))
+                od = jnp.concatenate([o, d], -1)[perm]
+                _, fields_s = intersect_shaded_clusters(
+                    baked.tris, pack, aabbs, od[:, :3], od[:, 3:6], t_min,
+                    cull_backface=cull_backface, interpret=False,
+                )
+                fields = fields_s[inv].reshape(shape + (OUT_W,))
+                tri = fields[..., 1].astype(jnp.int32)
+                miss = tri < 0
+                hit = _HitRecord(
+                    t=jnp.where(miss, jnp.float32(1e30), fields[..., 0]),
+                    tri=tri, bary_u=fields[..., 2], bary_v=fields[..., 3],
+                )
+            else:
+                hit, fields = intersect_shaded_clusters(
+                    baked.tris, pack, aabbs, origin, direction, t_min,
+                    cull_backface=cull_backface, interpret=False,
+                )
             sd = shading_from_fields(
                 fields, baked.data.textures, hit, origin, direction, view_origin
             )
@@ -272,7 +297,9 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
 
             pack = pack_shaded_tris_lane(baked.tris, baked.data.materials)
 
-            def trace(origin, direction, t_min, view_origin, cull_backface=False):
+            def trace(origin, direction, t_min, view_origin,
+                      cull_backface=False, coherent=True):
+                del coherent  # dense kernels are insensitive to ray order
                 hit, fields = intersect_shaded_lanes(
                     baked.tris, pack, origin, direction, t_min,
                     cull_backface=cull_backface, interpret=False,
@@ -286,7 +313,9 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
 
         pack = pack_shaded_triangles(baked.tris, baked.data.materials)
 
-        def trace(origin, direction, t_min, view_origin, cull_backface=False):
+        def trace(origin, direction, t_min, view_origin,
+                  cull_backface=False, coherent=True):
+            del coherent  # dense kernels are insensitive to ray order
             hit, fields = intersect_shaded(
                 baked.tris, pack, origin, direction, t_min,
                 cull_backface=cull_backface, interpret=not on_tpu,
@@ -298,9 +327,11 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
 
         return alpha_wrap(trace)
 
-    def trace(origin, direction, t_min, view_origin, cull_backface=False):
+    def trace(origin, direction, t_min, view_origin, cull_backface=False,
+              coherent=True):
         hit = intersect(
-            origin, direction, t_min, closest=True, cull_backface=cull_backface
+            origin, direction, t_min, closest=True,
+            cull_backface=cull_backface, coherent=coherent,
         )
         sd = prepare_shading_data(
             baked.tris, baked.data.materials, baked.data.textures,

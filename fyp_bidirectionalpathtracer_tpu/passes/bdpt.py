@@ -122,6 +122,9 @@ def shoot_ray(payload: Payload, trace, cfg: BDPTConfig) -> Payload:
     hit  -> shading data + sampleBRDF + updateRayData.
     """
     active = ~payload.terminated
+    # NOTE: bounce wavefronts stay in pixel order (origins already
+    # coherent); Morton sorting (coherent=False) measured no gain for them
+    # — see ops.raysort and benchmarks/cluster_micro.py
     hit, sd = trace(
         payload.ray_origin, payload.ray_dir, cfg.min_t, payload.ray_origin
     )
@@ -274,8 +277,10 @@ def bdpt_pass(
     height, width = pos4.shape[0], pos4.shape[1]
     shape = (height, width)
 
-    def shadow_fn(o, d, tmin, tmax):
-        return ~intersect(o, d, tmin, tmax, closest=False).hit
+    def shadow_fn(o, d, tmin, tmax, coherent=True):
+        return ~intersect(
+            o, d, tmin, tmax, closest=False, coherent=coherent
+        ).hit
 
     valid = pos4[..., 3] != 0.0
     world_pos = pos4[..., :3]

@@ -128,6 +128,44 @@ def test_cluster_hbm_matches_vmem(spheres):
                                rtol=1e-6)
 
 
+def test_sorted_wavefront_matches_unsorted(spheres):
+    """coherent=False Morton-sorts rays through the cluster kernels and
+    inverse-permutes the results — must be a pure permutation identity."""
+    from fyp_bidirectionalpathtracer_tpu.ops.raysort import (
+        make_permutation,
+        ray_sort_keys,
+        scene_bounds,
+    )
+
+    o, d = _rays(600, seed=7)
+    lo, hi = scene_bounds(spheres.tris)
+    perm, inv = make_permutation(ray_sort_keys(o, d, lo, hi))
+    np.testing.assert_array_equal(
+        np.asarray(perm)[np.asarray(inv)], np.arange(600)
+    )
+
+    from fyp_bidirectionalpathtracer_tpu.accel.traverse import (
+        make_intersector,
+    )
+
+    # force the cluster branch on CPU (interpret mode) so the sorted code
+    # path itself is exercised, not just the kwarg plumbing
+    intersect = make_intersector(
+        spheres.data.bvh, spheres.tris, materials=spheres.data.materials,
+        force_cluster=True,
+    )
+    h0 = intersect(o, d, 1e-3, closest=True)
+    h1 = intersect(o, d, 1e-3, closest=True, coherent=False)
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    np.testing.assert_allclose(np.asarray(h0.t), np.asarray(h1.t), rtol=1e-6)
+
+    tmax = jnp.full((600,), 2.5)
+    o0 = intersect(o, d, 1e-3, t_max=tmax, closest=False).hit
+    o1 = intersect(o, d, 1e-3, t_max=tmax, closest=False,
+                   coherent=False).hit
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
 def test_cluster_single_cluster_edge_case():
     """Cornell (36 tris < CK): one padded cluster must still be exact."""
     cornell = Scene.from_built(cornell_box()).bake()
