@@ -345,22 +345,26 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
             else pc.intersect_closest_clusters
         )
 
-        def sort_wavefront(origin, direction, t_max):
+        def sort_wavefront(origin, direction, t_min, t_max):
             """Morton-sort an incoherent wavefront (ops.raysort): returns
-            (o, d, t_max, inv) flat in sorted order."""
+            (o, d, t_min, t_max, inv) flat in sorted order."""
             shape = origin.shape[:-1]
             o = origin.reshape(-1, 3)
             d = direction.reshape(-1, 3)
             lo, hi = scene_bounds(tris)
             perm, inv = make_permutation(ray_sort_keys(o, d, lo, hi))
+            tn = jnp.broadcast_to(
+                jnp.asarray(t_min, jnp.float32), shape
+            ).reshape(-1, 1)
             if t_max is None:
                 tm = jnp.full((o.shape[0], 1), 1e30, jnp.float32)
             else:
                 tm = jnp.broadcast_to(
                     jnp.asarray(t_max, jnp.float32), shape
                 ).reshape(-1, 1)
-            packed = jnp.concatenate([o, d, tm], -1)[perm]
-            return packed[:, :3], packed[:, 3:6], packed[:, 6], inv, shape
+            packed = jnp.concatenate([o, d, tn, tm], -1)[perm]
+            return (packed[:, :3], packed[:, 3:6], packed[:, 6],
+                    packed[:, 7], inv, shape)
 
         def intersect(origin, direction, t_min, t_max=None, closest=True,
                       cull_backface=False, coherent=True):
@@ -371,11 +375,11 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                         tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
                     )
                 else:
-                    o, d, tm, inv, shape = sort_wavefront(
-                        origin, direction, t_max
+                    o, d, tn, tm, inv, shape = sort_wavefront(
+                        origin, direction, t_min, t_max
                     )
                     occ_s = occluded_fn(
-                        tris, o, d, t_min, tm,
+                        tris, o, d, tn, tm,
                         tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
                     )
                     occ = occ_s[inv].reshape(shape)
@@ -387,22 +391,24 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     bary_v=zero,
                 )
 
-            def run_closest(o, d, tm):
+            def run_closest(o, d, tn, tm):
                 if shaded_pack is not None:
                     hit, _ = pc.intersect_shaded_clusters(
-                        tris, shaded_pack, aabbs, o, d, t_min,
+                        tris, shaded_pack, aabbs, o, d, tn,
                         tm, cull_backface, interpret=interp,
                     )
                     return hit
                 return closest_lean_fn(
-                    tris, o, d, t_min, tm, cull_backface,
+                    tris, o, d, tn, tm, cull_backface,
                     tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
                 )
 
             if coherent:
-                return run_closest(origin, direction, t_max)
-            o, d, tm, inv, shape = sort_wavefront(origin, direction, t_max)
-            hit_s = run_closest(o, d, tm)
+                return run_closest(origin, direction, t_min, t_max)
+            o, d, tn, tm, inv, shape = sort_wavefront(
+                origin, direction, t_min, t_max
+            )
+            hit_s = run_closest(o, d, tn, tm)
             packed = jnp.stack(
                 [hit_s.t, hit_s.tri.astype(jnp.float32),
                  hit_s.bary_u, hit_s.bary_v], -1,

@@ -265,11 +265,14 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
                 shape = origin.shape[:-1]
                 o = origin.reshape(-1, 3)
                 d = direction.reshape(-1, 3)
+                tmin_flat = jnp.broadcast_to(
+                    jnp.asarray(t_min, jnp.float32), shape
+                ).reshape(-1, 1)
                 lo, hi = scene_bounds(baked.tris)
                 perm, inv = make_permutation(ray_sort_keys(o, d, lo, hi))
-                od = jnp.concatenate([o, d], -1)[perm]
+                od = jnp.concatenate([o, d, tmin_flat], -1)[perm]
                 _, fields_s = intersect_shaded_clusters(
-                    baked.tris, pack, aabbs, od[:, :3], od[:, 3:6], t_min,
+                    baked.tris, pack, aabbs, od[:, :3], od[:, 3:6], od[:, 6],
                     cull_backface=cull_backface, interpret=False,
                 )
                 fields = fields_s[inv].reshape(shape + (OUT_W,))
