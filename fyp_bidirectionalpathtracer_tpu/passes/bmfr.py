@@ -88,10 +88,19 @@ def _pack_2x2(img):
 
 
 def _gather_2x2(pack, base, h, w):
-    """Fetch the 4-tap block for integer base coords ([H,W,2] int32)."""
+    """Fetch the 4-tap block for integer base coords ([H,W,2] int32).
+
+    TPU gather cost is flat for row widths up to 16 f32 columns (64 B) and
+    climbs steeply beyond (~8 ms/1M at 16 cols vs ~45 ms at 40 cols,
+    benchmarks/bmfr_pre_micro.py), so the wide pack is fetched as several
+    <=16-column gathers sharing one index vector."""
     gx = jnp.clip(base[..., 0] + 1, 0, w)
     gy = jnp.clip(base[..., 1] + 1, 0, h)
-    return pack[gy, gx]
+    c = pack.shape[-1]
+    flat = pack.reshape(-1, c)
+    idx = gy * (w + 1) + gx
+    parts = [flat[:, s:min(s + 16, c)][idx] for s in range(0, c, 16)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _hash_random(a):
