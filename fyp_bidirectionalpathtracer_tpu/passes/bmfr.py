@@ -223,10 +223,17 @@ def _gather_block_features(cur_pos, cur_norm, albedo, noisy, frame_number,
     mx = _mirror(px, w)
     my = _mirror(py, h)
 
-    p = cur_pos[my, mx, :3]
-    n = cur_norm[my, mx, :3]
-    alb = albedo[my, mx, :3]
-    c = noisy[my, mx, :3]
+    # ONE 12-column gather instead of four narrow ones (TPU gather cost is
+    # per index vector up to 16 f32 columns)
+    tab = jnp.concatenate(
+        [cur_pos[..., :3], cur_norm[..., :3], albedo[..., :3],
+         noisy[..., :3]], -1,
+    ).reshape(-1, 12)
+    row = tab[my * w + mx]
+    p = row[..., 0:3]
+    n = row[..., 3:6]
+    alb = row[..., 6:9]
+    c = row[..., 9:12]
     c_over_a = jnp.where(alb < 0.01, 0.0, c / jnp.maximum(alb, 1e-20))
 
     ones = jnp.ones(px.shape, jnp.float32)
@@ -240,7 +247,7 @@ def _gather_block_features(cur_pos, cur_norm, albedo, noisy, frame_number,
         ],
         axis=-1,
     )  # [B, 1024, 13]
-    return feats, px, py
+    return feats, px, py, alb
 
 
 def _normalize_features(x):
@@ -389,7 +396,7 @@ def regression(cur_pos, cur_norm, albedo, noisy, frame_number, cfg: BMFRConfig):
         n_blocks_x //= 2  # DenoisePass.cpp:266-268 halves horizontal coverage
     n_blocks_y = (h + BLOCK_EDGE - 1) // BLOCK_EDGE + 1
 
-    feats, px, py = _gather_block_features(
+    feats, px, py, alb = _gather_block_features(
         cur_pos, cur_norm, albedo, noisy, frame_number, n_blocks_x, n_blocks_y
     )
     x = _normalize_features(feats)
@@ -405,17 +412,18 @@ def regression(cur_pos, cur_norm, albedo, noisy, frame_number, cfg: BMFRConfig):
     fitted = jnp.maximum(fitted, 0.0)
 
     in_range = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-    alb = albedo[_mirror(py, h), _mirror(px, w), :3]
-    out_rgb = alb * fitted
+    out_rgb = alb * fitted  # alb from the block-feature gather (same taps)
 
-    flat_idx = jnp.where(in_range, py * w + px, h * w)
-    new_rgb = (
-        noisy[..., :3]
-        .reshape(-1, 3)
-        .at[flat_idx.reshape(-1)]
-        .set(out_rgb.reshape(-1, 3), mode="drop")
-        .reshape(h, w, 3)
-    )
+    flat_idx = jnp.where(in_range, py * w + px, h * w).reshape(-1)
+    # per-channel flat scatters: a trailing-component-axis scatter is ~8x
+    # slower on TPU (see ops/splat.py and benchmarks/scatter_micro.py)
+    src = out_rgb.reshape(-1, 3)
+    base = noisy[..., :3].reshape(-1, 3)
+    chans = [
+        base[:, k].at[flat_idx].set(src[:, k], mode="drop")
+        for k in range(3)
+    ]
+    new_rgb = jnp.stack(chans, -1).reshape(h, w, 3)
     return jnp.concatenate([new_rgb, noisy[..., 3:4]], -1)
 
 
