@@ -335,7 +335,11 @@ def _householder_qr_skip_ld(a):
         u = a[:, :, col]
         mask_hi = rows[None, :] > limit[:, None]
         norm_sq = jnp.sum(jnp.where(mask_hi, u * u, 0.0), axis=1)
-        u_piv = jnp.take_along_axis(u, limit[:, None], axis=1)[:, 0]
+        # one-hot reduction instead of take_along_axis: tiny dynamic
+        # gathers are latency-bound ops on TPU, fused selects are free
+        u_piv = jnp.sum(
+            jnp.where(rows[None, :] == limit[:, None], u, 0.0), axis=1
+        )
         vec_len = jnp.sqrt(norm_sq + u_piv * u_piv)
         accept = vec_len > 0.01
         u_new_piv = u_piv - vec_len
@@ -369,14 +373,11 @@ def _householder_qr_skip_ld(a):
     limit = limit - 1
     ridx = jnp.arange(FEATURES)
     for i in range(FEATURES - 1, -1, -1):
-        piv_r = jnp.take_along_axis(
-            rmat, jnp.maximum(limit, 0)[:, None, None].repeat(BUFFERS, axis=2), axis=1
-        )[:, 0, :]  # [B, 13] pivot row of R
+        onehot = (ridx[None, :] == limit[:, None])[..., None]
+        piv_r = jnp.sum(jnp.where(onehot, rmat, 0.0), axis=1)  # [B, 13]
         diag = piv_r[:, i]
         accepted = (diag != 0.0) & (limit >= 0)
-        piv_rhs = jnp.take_along_axis(
-            wrows, jnp.maximum(limit, 0)[:, None, None].repeat(3, axis=2), axis=1
-        )[:, 0, :]
+        piv_rhs = jnp.sum(jnp.where(onehot, wrows, 0.0), axis=1)  # [B, 3]
         wi = jnp.where(accepted[:, None], piv_rhs / jnp.where(accepted[:, None], diag[:, None], 1.0), 0.0)
         weights = weights.at[:, i, :].set(wi)
         new_limit = limit - accepted.astype(jnp.int32)
