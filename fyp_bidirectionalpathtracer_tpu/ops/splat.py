@@ -160,11 +160,18 @@ MODES = {
 
 def scatter_add_rgba(mode: str, lin, rgb, alpha, n_targets: int,
                      alpha_is_count: bool = False):
-    """Dispatch by mode; 'auto' = 'packed' on TPU (measured 47 ms vs 77 ms
-    direct for 2.8M updates into 720p), 'direct' elsewhere (keeps CPU golden
-    images on the reference-ordered summation)."""
+    """Dispatch by mode; 'auto' = 'tiled' on TPU (sort + MXU one-hot tile
+    accumulation, see ops/splat_tile.py), 'direct' elsewhere (keeps CPU
+    golden images on the reference-ordered summation)."""
     if mode == "auto":
-        mode = "packed" if jax.default_backend() == "tpu" else "direct"
+        mode = "tiled" if jax.default_backend() == "tpu" else "direct"
+    if mode == "tiled":
+        from .splat_tile import scatter_add_rgba_tiled
+
+        return scatter_add_rgba_tiled(
+            lin, rgb, alpha, n_targets, alpha_is_count,
+            interpret=jax.default_backend() != "tpu",
+        )
     if mode == "packed":
         return scatter_add_rgba_packed(lin, rgb, alpha, n_targets,
                                        alpha_is_count)

@@ -92,6 +92,17 @@ def sharded_megakernel_step(cfg, mesh: Mesh, interpret: bool | None = None):
             f"row sharding needs height divisible by {n} and shard pixel "
             f"counts divisible by 128 (got {h}x{w})"
         )
+    if cfg.bmfr.enabled and n > 1:
+        # BMFR's temporal reprojection + 32x32 regression blocks tap pixels
+        # across shard-row boundaries; running it per shard would silently
+        # read the wrong history rows.  Fail loudly until a halo exchange
+        # exists; the SPMD wavefront path (sharded_render_step) handles
+        # BMFR correctly because XLA partitions its gathers globally.
+        raise ValueError(
+            "BMFR under sharded_megakernel_step is unsupported (reprojection"
+            " taps cross shard rows); use sharded_render_step or disable"
+            " cfg.bmfr.enabled"
+        )
     sub_h = h // n
     n_sub = sub_h * w
     pad_cols = -(-n_sub // (8 * 128)) * 8  # per-shard cols incl. padding

@@ -206,37 +206,49 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
 
 
 # ------------------------------------------------------------- regression
-def _gather_block_features(cur_pos, cur_norm, albedo, noisy, frame_number,
-                           n_blocks_x: int, n_blocks_y: int):
-    """Build the [B, 1024, 13] feature tensor for all blocks."""
+_PAD_L = BLOCK_EDGE           # covers BLOCK_OFFSETS in [-32, -2]
+_PAD_R = 2 * BLOCK_EDGE       # covers n_blocks*32 + off - size <= 61
+
+
+def _block_features(cur_pos, cur_norm, albedo, noisy, frame_number,
+                    n_blocks_x: int, n_blocks_y: int):
+    """Build the [B, 1024, 13] feature tensor for all blocks.
+
+    The reference's per-thread fetch (regressionCP.hlsl:104-124) is pixel
+    (block*32 + local + BLOCK_OFFSETS[frame%16]) with mirror addressing —
+    a REGULAR grid: the whole tensor is one shifted window of the
+    symmetric-padded image.  A pad + dynamic_slice + block reshape replaces
+    the 1M-index gather (TPU gathers cost ~8 ms/M at 12 columns; slices are
+    pure bandwidth).  Requires h, w >= 64 for single-reflection validity —
+    true for every real config; tiny tests keep exactness because pad
+    mode='symmetric' IS the mirror rule (verified in tests)."""
     h, w = noisy.shape[0], noisy.shape[1]
     b = n_blocks_x * n_blocks_y
-    bid = jnp.arange(b, dtype=jnp.int32)
-    bx = (bid % n_blocks_x) * BLOCK_EDGE
-    by = (bid // n_blocks_x) * BLOCK_EDGE
-    pid = jnp.arange(BLOCK_PIXELS, dtype=jnp.int32)
-    ix = pid % BLOCK_EDGE
-    iy = pid // BLOCK_EDGE
     off = BLOCK_OFFSETS[frame_number % 16]
-    px = bx[:, None] + ix[None, :] + off[0]   # [B, 1024]
-    py = by[:, None] + iy[None, :] + off[1]
-    mx = _mirror(px, w)
-    my = _mirror(py, h)
 
-    # ONE 12-column gather instead of four narrow ones (TPU gather cost is
-    # per index vector up to 16 f32 columns)
     tab = jnp.concatenate(
         [cur_pos[..., :3], cur_norm[..., :3], albedo[..., :3],
          noisy[..., :3]], -1,
-    ).reshape(-1, 12)
-    row = tab[my * w + mx]
+    )  # [H, W, 12]
+    padded = jnp.pad(
+        tab, ((_PAD_L, _PAD_R), (_PAD_L, _PAD_R), (0, 0)), mode="symmetric"
+    )
+    win = jax.lax.dynamic_slice(
+        padded, (_PAD_L + off[1], _PAD_L + off[0], 0),
+        (n_blocks_y * BLOCK_EDGE, n_blocks_x * BLOCK_EDGE, 12),
+    )
+    row = (
+        win.reshape(n_blocks_y, BLOCK_EDGE, n_blocks_x, BLOCK_EDGE, 12)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b, BLOCK_PIXELS, 12)
+    )
     p = row[..., 0:3]
     n = row[..., 3:6]
     alb = row[..., 6:9]
     c = row[..., 9:12]
     c_over_a = jnp.where(alb < 0.01, 0.0, c / jnp.maximum(alb, 1e-20))
 
-    ones = jnp.ones(px.shape, jnp.float32)
+    ones = jnp.ones((b, BLOCK_PIXELS), jnp.float32)
     feats = jnp.stack(
         [
             ones,
@@ -247,7 +259,7 @@ def _gather_block_features(cur_pos, cur_norm, albedo, noisy, frame_number,
         ],
         axis=-1,
     )  # [B, 1024, 13]
-    return feats, px, py, alb
+    return feats, off, alb
 
 
 def _normalize_features(x):
@@ -397,7 +409,7 @@ def regression(cur_pos, cur_norm, albedo, noisy, frame_number, cfg: BMFRConfig):
         n_blocks_x //= 2  # DenoisePass.cpp:266-268 halves horizontal coverage
     n_blocks_y = (h + BLOCK_EDGE - 1) // BLOCK_EDGE + 1
 
-    feats, px, py, alb = _gather_block_features(
+    feats, off, alb = _block_features(
         cur_pos, cur_norm, albedo, noisy, frame_number, n_blocks_x, n_blocks_y
     )
     x = _normalize_features(feats)
@@ -411,20 +423,23 @@ def regression(cur_pos, cur_norm, albedo, noisy, frame_number, cfg: BMFRConfig):
         precision=jax.lax.Precision.HIGHEST,
     )  # [B, 1024, 3]
     fitted = jnp.maximum(fitted, 0.0)
+    out_rgb = alb * fitted  # alb from the same block taps
 
-    in_range = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-    out_rgb = alb * fitted  # alb from the block-feature gather (same taps)
-
-    flat_idx = jnp.where(in_range, py * w + px, h * w).reshape(-1)
-    # per-channel flat scatters: a trailing-component-axis scatter is ~8x
-    # slower on TPU (see ops/splat.py and benchmarks/scatter_micro.py)
-    src = out_rgb.reshape(-1, 3)
-    base = noisy[..., :3].reshape(-1, 3)
-    chans = [
-        base[:, k].at[flat_idx].set(src[:, k], mode="drop")
-        for k in range(3)
-    ]
-    new_rgb = jnp.stack(chans, -1).reshape(h, w, 3)
+    # write-back is the inverse regular-grid window: un-block, place into a
+    # padded canvas at the frame offset, slice the live region (the old
+    # scatter-set — blocks are disjoint in shifted space, so this is exact)
+    fitted_img = (
+        out_rgb.reshape(n_blocks_y, n_blocks_x, BLOCK_EDGE, BLOCK_EDGE, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n_blocks_y * BLOCK_EDGE, n_blocks_x * BLOCK_EDGE, 3)
+    )
+    canvas = jnp.pad(
+        noisy[..., :3], ((_PAD_L, _PAD_R), (_PAD_L, _PAD_R), (0, 0))
+    )
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, fitted_img, (_PAD_L + off[1], _PAD_L + off[0], 0)
+    )
+    new_rgb = canvas[_PAD_L:_PAD_L + h, _PAD_L:_PAD_L + w]
     return jnp.concatenate([new_rgb, noisy[..., 3:4]], -1)
 
 

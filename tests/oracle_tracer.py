@@ -1,0 +1,193 @@
+"""Independent brute-force numpy path tracer — the fidelity oracle.
+
+Written from the reference's equations ONLY (BDPTMain.rt.hlsl estimator 1,
+MaterialUtils.hlsli lambertianDirect, Lights.slang point falloff); shares NO
+code with fyp_bidirectionalpathtracer_tpu.  Scene: the analytic Cornell box
+(5 axis-aligned wall quads + 2 axis-aligned boxes + 1 point light) matching
+models.procedural.cornell_box geometrically.
+
+Scope: Lambertian materials, the path-tracing estimator family at depth<=2:
+  out = emissive + direct(v1)/2 + albedo(v1) * direct(v2)/3
+with each term channel-clamped to [0, clamp_upper] per sample — exactly the
+pipeline's estimator-1 weights (BDPTMain.rt.hlsl:161-167).  Depth-1 is
+deterministic (point light, center jitter); depth-2's bounce is cosine
+sampled with numpy's own RNG, so comparisons are statistical.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# ---- scene constants (mirror models.procedural.cornell_box) ----
+WHITE = np.array([0.73, 0.73, 0.73], np.float32)
+RED = np.array([0.63, 0.065, 0.05], np.float32)
+GREEN = np.array([0.14, 0.45, 0.091], np.float32)
+LIGHT_POS = np.array([0.5, 0.93, 0.5], np.float32)
+LIGHT_INTENSITY = np.array([18.0, 18.0, 18.0], np.float32)
+CLAMP_UPPER = 0.9
+MIN_T = 1.0e-3
+
+# walls: (axis, plane value, interior-normal sign, albedo)
+_WALLS = [
+    (1, 0.0, +1.0, WHITE),   # floor
+    (1, 1.0, -1.0, WHITE),   # ceiling
+    (2, 1.0, -1.0, WHITE),   # back
+    (0, 0.0, +1.0, RED),     # left
+    (0, 1.0, -1.0, GREEN),   # right
+]
+# boxes: (lo, hi) AABBs, white
+_BOXES = [
+    (np.array([0.20, 0.00, 0.50]), np.array([0.50, 0.60, 0.80])),
+    (np.array([0.53, 0.00, 0.20]), np.array([0.83, 0.30, 0.50])),
+]
+
+
+def intersect(o, d, tmax=None):
+    """Closest hit for rays o + t*d (both [N,3]).  Returns (t [N], n [N,3],
+    albedo [N,3], hit [N])."""
+    n_rays = o.shape[0]
+    best_t = np.full(n_rays, np.inf, np.float64)
+    best_n = np.zeros((n_rays, 3), np.float64)
+    best_alb = np.zeros((n_rays, 3), np.float64)
+
+    def consider(t, n, alb, valid):
+        better = valid & (t > MIN_T) & (t < best_t)
+        best_t[better] = t[better]
+        best_n[better] = n[better] if n.ndim == 2 else n
+        if alb.ndim == 2:
+            best_alb[better] = alb[better]
+        else:
+            best_alb[better] = alb
+
+    for axis, value, sign, alb in _WALLS:
+        dz = d[:, axis]
+        t = np.where(np.abs(dz) > 1e-12, (value - o[:, axis]) / np.where(
+            np.abs(dz) > 1e-12, dz, 1.0), np.inf)
+        p = o + t[:, None] * d
+        oth = [a for a in range(3) if a != axis]
+        inside = (
+            (p[:, oth[0]] >= 0.0) & (p[:, oth[0]] <= 1.0)
+            & (p[:, oth[1]] >= 0.0) & (p[:, oth[1]] <= 1.0)
+        )
+        n = np.zeros(3)
+        n[axis] = sign
+        consider(t, n, alb, np.isfinite(t) & inside)
+
+    for lo, hi in _BOXES:
+        inv = 1.0 / np.where(np.abs(d) > 1e-12, d, 1e-12)
+        t0 = (lo[None, :] - o) * inv
+        t1 = (hi[None, :] - o) * inv
+        tn = np.minimum(t0, t1)
+        tf = np.maximum(t0, t1)
+        t_near = tn.max(axis=1)
+        t_far = tf.min(axis=1)
+        hit_face = tn.argmax(axis=1)
+        valid = (t_near <= t_far) & (t_far > MIN_T) & (t_near > MIN_T)
+        n = np.zeros((n_rays, 3))
+        rows = np.arange(n_rays)
+        n[rows, hit_face] = -np.sign(d[rows, hit_face])
+        consider(t_near, n, WHITE, valid)
+
+    hit = np.isfinite(best_t)
+    if tmax is not None:
+        hit = hit & (best_t < tmax)
+    return best_t, best_n, best_alb, hit
+
+
+def _advance(o, t, d):
+    return o + np.where(np.isfinite(t), t, 0.0)[:, None] * d
+
+
+def shadow_visible(p, dist, l):
+    t, _, _, hit = intersect(p, l, tmax=dist - 1e-4)
+    return ~hit
+
+
+def direct_light(p, n, albedo):
+    """lambertianDirect with 1 point light: N_lights * max(n.l, 0) *
+    intensity * falloff * albedo / pi; falloff = 1/(0.0001 + d^2)."""
+    to_l = LIGHT_POS[None, :] - p
+    dist_sq = (to_l * to_l).sum(axis=1)
+    dist = np.sqrt(dist_sq)
+    l = to_l / dist[:, None]
+    falloff = 1.0 / (0.0001 + dist_sq)
+    cos = np.maximum((n * l).sum(axis=1), 0.0)
+    vis = shadow_visible(p, dist, l)
+    return (vis * cos * falloff)[:, None] * LIGHT_INTENSITY[None, :] * albedo / np.pi
+
+
+def camera_rays(width, height, cam_pos, cam_u, cam_v, cam_w):
+    """Falcor ray-gen: ndc through pixel centers (jitter 0.5)."""
+    xs = (np.arange(width) + 0.5) / width
+    ys = (np.arange(height) + 0.5) / height
+    ndc_x = 2.0 * xs - 1.0
+    ndc_y = -2.0 * ys + 1.0
+    d = (
+        ndc_x[None, :, None] * cam_u[None, None, :]
+        + ndc_y[:, None, None] * cam_v[None, None, :]
+        + cam_w[None, None, :]
+    ).reshape(-1, 3)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.broadcast_to(cam_pos, d.shape).copy()
+    return o, d
+
+
+def cosine_sample(n, rs):
+    """Cosine-weighted hemisphere around n (own construction)."""
+    m = n.shape[0]
+    u1 = rs.uniform(size=m)
+    u2 = rs.uniform(size=m)
+    r = np.sqrt(u1)
+    phi = 2.0 * np.pi * u2
+    # build tangent frame
+    a = np.where(np.abs(n[:, 2:3]) < 0.9, np.array([[0.0, 0.0, 1.0]]),
+                 np.array([[1.0, 0.0, 0.0]]))
+    t = np.cross(a, n)
+    t = t / np.linalg.norm(t, axis=1, keepdims=True)
+    b = np.cross(n, t)
+    z = np.sqrt(np.maximum(1.0 - u1, 0.0))
+    return (
+        (r * np.cos(phi))[:, None] * t
+        + (r * np.sin(phi))[:, None] * b
+        + z[:, None] * n
+    )
+
+
+def clamp(v):
+    return np.clip(v, 0.0, CLAMP_UPPER)
+
+
+def render_depth1(width, height, cam_pos, cam_u, cam_v, cam_w):
+    """Deterministic: direct(v1)/2, clamped.  Background pixels -> 0 rgb
+    contribution from the estimator (pipeline shows env there)."""
+    o, d = camera_rays(width, height, cam_pos, cam_u, cam_v, cam_w)
+    t, n, alb, hit = intersect(o, d)
+    p = _advance(o, t, d)
+    out = np.zeros((o.shape[0], 3))
+    out[hit] = clamp(direct_light(p[hit], n[hit], alb[hit]) / 2.0)
+    return out.reshape(height, width, 3), hit.reshape(height, width)
+
+
+def render_depth2(width, height, cam_pos, cam_u, cam_v, cam_w, spp, seed=0):
+    """E[direct(v1)/2 + albedo1*direct(v2)/3], clamped per sample."""
+    rs = np.random.RandomState(seed)
+    o, d = camera_rays(width, height, cam_pos, cam_u, cam_v, cam_w)
+    t, n1, alb1, hit = intersect(o, d)
+    p1 = _advance(o, t, d)
+    term1 = np.zeros((o.shape[0], 3))
+    term1[hit] = clamp(direct_light(p1[hit], n1[hit], alb1[hit]) / 2.0)
+
+    acc = np.zeros((o.shape[0], 3))
+    ph, nh, ah = p1[hit], n1[hit], alb1[hit]
+    for _ in range(spp):
+        l = cosine_sample(nh, rs)
+        t2, n2, alb2, hit2 = intersect(ph, l)
+        p2 = _advance(ph, t2, l)
+        contrib = np.zeros_like(ph)
+        if hit2.any():
+            contrib[hit2] = direct_light(p2[hit2], n2[hit2], alb2[hit2])
+        # lambertian sampleBRDF weight = albedo (cos/pdf cancels with the
+        # reference's missing 1/pi — MaterialUtils.hlsli:309-329)
+        sample = np.zeros((o.shape[0], 3))
+        sample[hit] = clamp(ah * contrib / 3.0)
+        acc += sample
+    return (term1 + acc / spp).reshape(height, width, 3), hit.reshape(height, width)

@@ -44,6 +44,36 @@ def test_hash_random_range():
     assert 0.4 < r.mean() < 0.6
 
 
+@pytest.mark.parametrize("frame", [0, 3, 9, 15])
+def test_block_features_match_mirror_gather(frame):
+    """The pad+dynamic_slice window path must equal the reference's
+    per-pixel mirror-addressed fetch (regressionCP.hlsl:104-124) bit-for-bit."""
+    rs = np.random.RandomState(7)
+    pos, norm, albedo, noisy = (
+        jnp.asarray(rs.rand(H, W, 4).astype(np.float32)) for _ in range(4)
+    )
+    n_bx = (W + 31) // 32 + 1
+    n_by = (H + 31) // 32 + 1
+    feats, off, alb = bmfr._block_features(
+        pos, norm, albedo, noisy, jnp.int32(frame), n_bx, n_by
+    )
+    # direct numpy mirror-gather oracle
+    offx, offy = np.asarray(bmfr.BLOCK_OFFSETS)[frame % 16]
+    tab = np.concatenate(
+        [np.asarray(x)[..., :3] for x in (pos, norm, albedo, noisy)], -1
+    )
+    bid = np.arange(n_bx * n_by)
+    pid = np.arange(1024)
+    px = (bid % n_bx)[:, None] * 32 + pid[None, :] % 32 + offx
+    py = (bid // n_bx)[:, None] * 32 + pid[None, :] // 32 + offy
+    mx = np.asarray(bmfr._mirror(jnp.asarray(px), W))
+    my = np.asarray(bmfr._mirror(jnp.asarray(py), H))
+    row = tab.reshape(-1, 12)[my * W + mx]
+    np.testing.assert_array_equal(np.asarray(alb), row[..., 6:9])
+    np.testing.assert_array_equal(np.asarray(feats[..., 1:4]), row[..., 3:6])
+    np.testing.assert_array_equal(np.asarray(feats[..., 4:7]), row[..., 0:3])
+
+
 @pytest.mark.parametrize("remove_ld", [True, False])
 def test_regression_denoises_linear_signal(remove_ld):
     """A signal linear in the features must be recovered almost exactly."""

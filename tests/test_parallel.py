@@ -124,3 +124,19 @@ def test_sharded_megakernel_matches_single(n_dev):
         atol=2e-5,
     )
     assert float(accum_sh.count) == float(accum_ref.count)
+
+
+def test_sharded_megakernel_rejects_bmfr(n_dev):
+    """BMFR reprojection taps cross shard rows; the megakernel step must
+    fail loudly instead of silently denoising with wrong history."""
+    from fyp_bidirectionalpathtracer_tpu.utils.config import (
+        BDPTConfig, BMFRConfig, RenderConfig,
+    )
+
+    cfg = RenderConfig(
+        width=128, height=n_dev * 16,
+        bdpt=BDPTConfig(megakernel="on"), bmfr=BMFRConfig(enabled=True),
+    )
+    mesh = sharding.make_mesh(n_dev)
+    with pytest.raises(ValueError, match="BMFR"):
+        sharding.sharded_megakernel_step(cfg, mesh, interpret=True)
