@@ -23,7 +23,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU BDPT renderer")
     p.add_argument("--scene", default="cornell",
                    help="'cornell', 'many-lights', 'textured', 'alpha-panel',"
-                        " or a path to .fscene/.obj")
+                        " 'pink-room', or a path to .fscene/.obj")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--frames", type=int, default=32, help="frames to accumulate")
@@ -81,6 +81,10 @@ def load_scene(name: str):
         return Scene.from_built(textured_room())
     if name == "alpha-panel":
         return Scene.from_built(alpha_panel_scene())
+    if name in ("pink-room", "pink_room"):
+        from ..models.pink_room import pink_room
+
+        return Scene.from_built(pink_room())
     if name.endswith(".fscene"):
         from ..scene.fscene import load_fscene
 

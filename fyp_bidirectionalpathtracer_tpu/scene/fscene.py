@@ -68,7 +68,15 @@ def load_fscene(path: str, allow_missing_models: bool = True) -> Scene:
         if fname.lower().endswith(".obj") and os.path.exists(full):
             meshes, mats = load_obj(full)
         elif allow_missing_models:
-            built = cornell_box()
+            if "pink_room" in fname.lower():
+                # the authored stand-in for the packman-fetched FBX, with
+                # the reference textures when present (models.pink_room);
+                # lights/camera come from the .fscene itself below
+                from ..models.pink_room import pink_room
+
+                built = pink_room(use_fscene_lights=False)
+            else:
+                built = cornell_box()
             meshes, mats = built.meshes, built.materials
         else:
             raise FileNotFoundError(f"cannot import model {full}")
