@@ -1,0 +1,74 @@
+"""Per-scene full-frame timing on the real chip.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/scene_frame_micro.py \
+           [scene ...] [--size WxH] [--depth D]
+
+Times the jitted reference-default pipeline (G-buffer + BDPT + accumulation,
+denoise off) exactly like bench.py, for any scene name the CLI app accepts
+(cornell / textured / pink-room / ...).  Honest sync = scalar readback
+(block_until_ready is a no-op on the tunneled platform, CLAUDE.md).
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def time_scene(name: str, width: int, height: int, depth: int,
+               warmup: int = 3, iters: int = 10) -> dict:
+    from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
+    from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
+        BDPT_FRAME_INIT,
+        GBUF_FRAME_INIT,
+        render_frame_fn,
+    )
+    from fyp_bidirectionalpathtracer_tpu.passes.accumulate import AccumState
+    from fyp_bidirectionalpathtracer_tpu.passes.bmfr import BMFRState
+    from fyp_bidirectionalpathtracer_tpu.utils.config import BDPTConfig, RenderConfig
+
+    cfg = RenderConfig(width=width, height=height,
+                       bdpt=BDPTConfig(max_depth=depth))
+    scene = load_scene(name)
+    baked = scene.bake(max_lights=max(16, len(scene.lights)))
+    fn = jax.jit(functools.partial(render_frame_fn, cfg=cfg))
+
+    accum = AccumState.create(height, width)
+    bmfr = BMFRState.create(height, width)
+    reset = jnp.asarray(False)
+
+    def step(i, accum, bmfr):
+        return fn(baked, baked.data.camera, accum, bmfr,
+                  jnp.uint32(GBUF_FRAME_INIT + i),
+                  jnp.uint32(BDPT_FRAME_INIT + i), reset)
+
+    for i in range(warmup):
+        ch, accum, bmfr = step(i, accum, bmfr)
+    float(ch["PipelineOutput"][0, 0, 0])
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + iters):
+        ch, accum, bmfr = step(i, accum, bmfr)
+    float(ch["PipelineOutput"][0, 0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    tris = int(baked.tris.v0.shape[0])
+    return {"scene": name, "ms_per_frame": round(dt * 1e3, 2),
+            "tris": tris, "resolution": f"{width}x{height}", "depth": depth}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("scenes", nargs="*", default=["textured"])
+    p.add_argument("--size", default="1280x720")
+    p.add_argument("--depth", type=int, default=3)
+    args = p.parse_args()
+    w, h = (int(x) for x in args.size.split("x"))
+    for name in args.scenes or ["textured"]:
+        print(json.dumps(time_scene(name, w, h, args.depth)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,23 +59,24 @@ def _round_up(x: int, m: int) -> int:
 # ------------------------------------------------------------------- host
 def pack_cluster_aabbs(tris: TriSoA, ck: int = CK):
     """[C, 8] f32 cluster AABB rows (minx,miny,minz,maxx,maxy,maxz,0,0) for
-    CK-sized runs of the (BVH-DFS-ordered) triangle array."""
-    v0 = np.asarray(tris.v0)
-    v1 = v0 + np.asarray(tris.e1)
-    v2 = v0 + np.asarray(tris.e2)
+    CK-sized runs of the (BVH-DFS-ordered) triangle array.
+
+    Pure jnp so it traces under jit (render_frame_fn takes the baked scene
+    as a runtime argument — sharding replicates it); shapes are static from
+    tris.v0.shape, XLA folds the whole thing into a few reduces."""
+    v0 = tris.v0
+    v1 = v0 + tris.e1
+    v2 = v0 + tris.e2
     t = v0.shape[0]
     c = max(1, -(-t // ck))
     pad = c * ck - t
-    big = np.full((pad, 3), np.inf, np.float32)
+    big = jnp.full((pad, 3), jnp.inf, jnp.float32)
 
-    lo = np.minimum(np.minimum(v0, v1), v2)
-    hi = np.maximum(np.maximum(v0, v1), v2)
-    lo = np.concatenate([lo, big]).reshape(c, ck, 3).min(axis=1)
-    hi = np.concatenate([hi, -big]).reshape(c, ck, 3).max(axis=1)
-    out = np.zeros((c, 8), np.float32)
-    out[:, 0:3] = lo
-    out[:, 3:6] = hi
-    return jnp.asarray(out)
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    lo = jnp.concatenate([lo, big]).reshape(c, ck, 3).min(axis=1)
+    hi = jnp.concatenate([hi, -big]).reshape(c, ck, 3).max(axis=1)
+    return jnp.concatenate([lo, hi, jnp.zeros((c, 2), jnp.float32)], axis=-1)
 
 
 def pack_shaded_tris_cluster(tris: TriSoA, materials: MaterialArray,

@@ -63,6 +63,10 @@ def load_mtl(path: str) -> dict[str, MaterialDesc]:
                 img = _load_image(os.path.join(base, tok[-1]))
                 if img is not None:
                     cur.base_color_image = img
+            elif key in ("map_bump", "bump", "norm", "map_Kn"):
+                img = _load_image(os.path.join(base, tok[-1]))
+                if img is not None:
+                    cur.normal_map_image = img
     return mats
 
 

@@ -39,6 +39,7 @@ class MaterialDesc:
     base_color_image: np.ndarray | None = None  # [h,w,4] float32
     specular_image: np.ndarray | None = None
     emissive_image: np.ndarray | None = None
+    normal_map_image: np.ndarray | None = None  # tangent-space, [0,1]-encoded
 
 
 def quad(p0, p1, p2, p3, material=0, uv_scale=1.0):

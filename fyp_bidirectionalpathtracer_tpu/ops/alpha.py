@@ -48,7 +48,7 @@ def _alpha_fails(tris, materials, atlas, hit, origin, direction):
     from .texture import sample_or_constant
 
     base = sample_or_constant(
-        atlas.data, materials.base_color_tex[m], uv, materials.base_color[m]
+        atlas, materials.base_color_tex[m], uv, materials.base_color[m]
     )
     return hit.hit & (base[..., 3] < materials.alpha_threshold[m])
 
@@ -104,7 +104,7 @@ def wrap_tracer(baked, trace, max_restarts: int = 4):
         from .texture import sample_or_constant
 
         base = sample_or_constant(
-            atlas.data, materials.base_color_tex[m], sd.uv,
+            atlas, materials.base_color_tex[m], sd.uv,
             materials.base_color[m],
         )
         return hit.hit & (base[..., 3] < materials.alpha_threshold[m])

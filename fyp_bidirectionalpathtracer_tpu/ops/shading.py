@@ -87,8 +87,8 @@ def shading_from_fields(fields, atlas: TextureAtlas, hit: HitRecord,
     em_tex = fields[..., 25].astype(jnp.int32)
     mat_id = fields[..., 26].astype(jnp.int32)
 
-    base = sample_or_constant(atlas.data, bc_tex, uv, base_const)
-    spec = sample_or_constant(atlas.data, sp_tex, uv, spec_const)
+    base = sample_or_constant(atlas, bc_tex, uv, base_const)
+    spec = sample_or_constant(atlas, sp_tex, uv, spec_const)
     opacity = base_const[..., 3]
 
     metal = spec[..., 2:3]
@@ -105,7 +105,7 @@ def shading_from_fields(fields, atlas: TextureAtlas, hit: HitRecord,
     rough = linear_rough * linear_rough
 
     em_const = jnp.concatenate([em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], -1)
-    emissive = sample_or_constant(atlas.data, em_tex, uv, em_const)[..., :3]
+    emissive = sample_or_constant(atlas, em_tex, uv, em_const)[..., :3]
 
     v = normalize(view_origin - pos)
     n_dot_v = dot(n, v)
@@ -158,9 +158,9 @@ def prepare_shading_data(
     sp_tex = mrow[..., 15].astype(jnp.int32)
     em_tex = mrow[..., 16].astype(jnp.int32)
 
-    base = sample_or_constant(atlas.data, bc_tex, uv, base_const)
+    base = sample_or_constant(atlas, bc_tex, uv, base_const)
     opacity = base_const[..., 3]  # sd.opacity = m.baseColor.a (BDPTUtils:10)
-    spec = sample_or_constant(atlas.data, sp_tex, uv, spec_const)
+    spec = sample_or_constant(atlas, sp_tex, uv, spec_const)
 
     metal_rough = mrow[..., 12] == SHADING_METAL_ROUGH
     # metal-rough: diffuse = lerp(base, 0, metalness=spec.b),
@@ -184,7 +184,7 @@ def prepare_shading_data(
     em_const = jnp.concatenate(
         [em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], axis=-1
     )
-    emissive = sample_or_constant(atlas.data, em_tex, uv, em_const)[..., :3]
+    emissive = sample_or_constant(atlas, em_tex, uv, em_const)[..., :3]
 
     v = normalize(camera_pos - pos)
     n_dot_v = dot(n, v)
@@ -207,6 +207,57 @@ def prepare_shading_data(
         n_dot_v=n_dot_v,
         material_id=mat_id,
     )
+
+
+def _tangent_pack(tris: TriSoA):
+    """[T, 4] per-triangle tangent frame seed: UV-gradient tangent (3) +
+    bitangent handedness sign (1), from the standard edge/uv-edge solve.
+    Pure elementwise over the triangle table — XLA folds it into the bake."""
+    duv1 = tris.uv1 - tris.uv0
+    duv2 = tris.uv2 - tris.uv0
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    t_raw = duv2[:, 1:2] * tris.e1 - duv1[:, 1:2] * tris.e2
+    ok = jnp.abs(det) > 1e-12
+    sign = jnp.where(det >= 0, 1.0, -1.0) * ok.astype(jnp.float32)
+    return jnp.concatenate([t_raw, sign[:, None]], axis=-1)
+
+
+def apply_normal_mapping(baked, hit: HitRecord, sd: ShadingData) -> ShadingData:
+    """Perturb sd.n by the material's tangent-space normal map.
+
+    The reference applies normal maps only through Falcor's full
+    prepareShadingData (Shading.slang:135-157, applyNormalMap) — i.e. at
+    G-buffer primary hits; BDPT bounces use simplePrepareShadingData which
+    skips them (BDPTUtils.hlsli:40-41).  Call this after the primary-hit
+    trace.  Tangents come from UV gradients (OBJ/.fscene data carries no
+    vertex tangents); degenerate UVs or missing maps leave n unchanged.
+    """
+    materials = baked.data.materials
+    atlas = baked.data.textures
+    tri = jnp.maximum(hit.tri, 0)
+    trow = _tangent_pack(baked.tris)[tri]
+    m = jnp.maximum(sd.material_id, 0)
+    slot = materials.normal_tex[m]
+
+    n = sd.n
+    t_raw = trow[..., 0:3]
+    sign = trow[..., 3]
+    t_proj = t_raw - n * dot(n, t_raw)[..., None]
+    t_len = jnp.sqrt(jnp.maximum(dot(t_proj, t_proj), 1e-20))
+    t_hat = t_proj / t_len[..., None]
+    b_hat = jnp.cross(n, t_hat) * sign[..., None]
+
+    flat = jnp.broadcast_to(
+        jnp.asarray([0.5, 0.5, 1.0, 0.0], jnp.float32), sd.uv.shape[:-1] + (4,)
+    )
+    nm = sample_or_constant(atlas, slot, sd.uv, flat)
+    nt = nm[..., 0:3] * 2.0 - 1.0
+    n_new = normalize(
+        t_hat * nt[..., 0:1] + b_hat * nt[..., 1:2] + n * nt[..., 2:3]
+    )
+    use = hit.hit & (slot >= 0) & (sign != 0.0) & (t_len > 1e-8)
+    n_out = jnp.where(use[..., None], n_new, n)
+    return sd.replace(n=n_out, n_dot_v=jnp.where(use, dot(n_out, sd.v), sd.n_dot_v))
 
 
 def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | None = None):

@@ -8,20 +8,20 @@ materials stay in one warp-free vector op.
 Semantics: wrap addressing, bilinear filter (the scene loader binds a linear
 wrap sampler, SceneLoaderWrapper.cpp:65-68); slot < 0 falls back to the
 constant factor, matching Falcor's ChannelType dispatch.
+
+Fast path: `TextureAtlas.packed` stores each texel's wrap-wrapped 2x2
+neighborhood as one [.., 16] f32 row (64 B — the TPU gather sweet spot, see
+CLAUDE.md), so a bilinear tap is ONE gather instead of four.  Falls back to
+the four-tap form when `packed` is absent (e.g. a freshly constructed
+minimal atlas).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 
-def sample_atlas_bilinear(atlas_data, slot, uv):
-    """Bilinear-sample atlas[slot] at uv (wrap). slot [...], uv [...,2].
-
-    Returns [...,4].  Negative slots are clamped to 0 for the gather; the
-    caller selects the constant fallback.
-    """
-    t, res = atlas_data.shape[0], atlas_data.shape[1]
-    s = jnp.clip(slot, 0, t - 1)
+def _uv_to_texels(uv, res):
+    """Wrap uv -> (x0i, y0i, fx, fy) integer texel coords + lerp weights."""
     u = uv[..., 0] - jnp.floor(uv[..., 0])
     v = uv[..., 1] - jnp.floor(uv[..., 1])
     x = u * res - 0.5
@@ -32,6 +32,18 @@ def sample_atlas_bilinear(atlas_data, slot, uv):
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), res)
     y0i = jnp.mod(y0.astype(jnp.int32), res)
+    return x0i, y0i, fx, fy
+
+
+def sample_atlas_bilinear(atlas_data, slot, uv):
+    """Bilinear-sample atlas[slot] at uv (wrap). slot [...], uv [...,2].
+
+    Returns [...,4].  Negative slots are clamped to 0 for the gather; the
+    caller selects the constant fallback.  Four 4-column gathers.
+    """
+    t, res = atlas_data.shape[0], atlas_data.shape[1]
+    s = jnp.clip(slot, 0, t - 1)
+    x0i, y0i, fx, fy = _uv_to_texels(uv, res)
     x1i = jnp.mod(x0i + 1, res)
     y1i = jnp.mod(y0i + 1, res)
     c00 = atlas_data[s, y0i, x0i]
@@ -43,17 +55,38 @@ def sample_atlas_bilinear(atlas_data, slot, uv):
     return top * (1 - fy) + bot * fy
 
 
-def sample_or_constant(atlas_data, slot, uv, constant):
+def sample_atlas_bilinear_packed(packed, slot, uv):
+    """Bilinear tap as ONE 16-column gather from the wrap-packed atlas
+    ([T, R, R, 16]: c00 c10 c01 c11 per row, scene.Scene.bake)."""
+    t, res = packed.shape[0], packed.shape[1]
+    s = jnp.clip(slot, 0, t - 1)
+    x0i, y0i, fx, fy = _uv_to_texels(uv, res)
+    row = packed[s, y0i, x0i]
+    c00 = row[..., 0:4]
+    c10 = row[..., 4:8]
+    c01 = row[..., 8:12]
+    c11 = row[..., 12:16]
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_or_constant(atlas, slot, uv, constant):
     """Texture if slot >= 0 else the constant factor ([...,4] both ways).
 
-    Shape-static fast paths: a 1x1 atlas needs no bilinear taps, and the
-    dummy single-slot atlas (untextured scene) needs no gather at all.
+    `atlas` is the scene TextureAtlas.  Shape-static fast paths: a 1x1 atlas
+    needs no bilinear taps, and the dummy single-slot atlas (untextured
+    scene) needs no gather at all.
     """
+    atlas_data = atlas.data
     if atlas_data.shape[1] == 1 and atlas_data.shape[2] == 1:
         if atlas_data.shape[0] == 1:
             tex = jnp.broadcast_to(atlas_data[0, 0, 0], constant.shape)
         else:
             tex = atlas_data[jnp.clip(slot, 0, atlas_data.shape[0] - 1), 0, 0]
         return jnp.where((slot >= 0)[..., None], tex, constant)
-    tex = sample_atlas_bilinear(atlas_data, slot, uv)
+    if atlas.packed is not None:
+        tex = sample_atlas_bilinear_packed(atlas.packed, slot, uv)
+    else:
+        tex = sample_atlas_bilinear(atlas_data, slot, uv)
     return jnp.where((slot >= 0)[..., None], tex, constant)

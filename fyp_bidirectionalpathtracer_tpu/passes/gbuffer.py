@@ -49,14 +49,22 @@ def ray_traced_gbuffer(
     use_thin_lens: bool = False,
     lens_radius=0.0,
     focal_len=1.0,
+    row0=0,
+    sub_height: int | None = None,
 ):
     """Returns the channel dict. `trace` from ops.shading.make_shaded_tracer
-    (closest hit + shading data in one wavefront call)."""
+    (closest hit + shading data in one wavefront call).
+
+    row0/sub_height render only rows [row0, row0+sub_height) of the full
+    width x height image with global pixel semantics (jitter NDC + RNG
+    seeds) — the shard_map row-sharded path (parallel.sharding)."""
     cam = baked.data.camera
-    d_raw = camera_ray_dirs(cam, width, height, pixel_jitter)
+    d_raw = camera_ray_dirs(cam, width, height, pixel_jitter,
+                            row0=row0, sub_height=sub_height)
 
     if use_thin_lens:
-        seeds = rng.pixel_seeds(width, height, frame_count)
+        seeds = rng.pixel_seeds(width, height, frame_count,
+                                row0=row0, sub_height=sub_height)
         focal_pt = cam.pos_w + focal_len * d_raw
         seeds, lx, ly = samplers.lens_sample(seeds, lens_radius)
         u_n = normalize(cam.camera_u)
@@ -78,6 +86,12 @@ def ray_traced_gbuffer(
         jnp.broadcast_to(cam.pos_w, d_raw.shape),
         cull_backface=True,
     )
+    if getattr(baked, "has_normal_maps", False):
+        # primary hits get the full prepareShadingData treatment
+        # (Shading.slang:135-157); bounces keep the simple path
+        from ..ops.shading import apply_normal_mapping
+
+        sd = apply_normal_mapping(baked, hit, sd)
     valid = hit.hit
     vmask = valid[..., None]
     dist = jnp.sqrt(jnp.sum((sd.pos_w - cam.pos_w) ** 2, -1))

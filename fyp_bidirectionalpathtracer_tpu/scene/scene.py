@@ -160,6 +160,7 @@ class Scene:
         bc_tex = np.full(m_count, -1, np.int32)
         sp_tex = np.full(m_count, -1, np.int32)
         em_tex = np.full(m_count, -1, np.int32)
+        nm_tex = np.full(m_count, -1, np.int32)
         for i, md in enumerate(mats):
             base_color[i] = md.base_color
             specular[i] = md.specular
@@ -171,11 +172,17 @@ class Scene:
             bc_tex[i] = add_image(md.base_color_image)
             sp_tex[i] = add_image(md.specular_image)
             em_tex[i] = add_image(md.emissive_image)
+            nm_tex[i] = add_image(getattr(md, "normal_map_image", None))
 
         if images:
+            data = np.stack(images)
+            rx = np.roll(data, -1, axis=2)
+            ry = np.roll(data, -1, axis=1)
+            rxy = np.roll(rx, -1, axis=1)
             atlas = TextureAtlas(
-                data=jnp.asarray(np.stack(images)),
+                data=jnp.asarray(data),
                 sizes=jnp.asarray(np.asarray(sizes, np.int32)),
+                packed=jnp.asarray(np.concatenate([data, rx, ry, rxy], -1)),
             )
         else:
             atlas = TextureAtlas(
@@ -194,6 +201,7 @@ class Scene:
             base_color_tex=jnp.asarray(bc_tex),
             specular_tex=jnp.asarray(sp_tex),
             emissive_tex=jnp.asarray(em_tex),
+            normal_tex=jnp.asarray(nm_tex),
         )
 
         lights = make_light_array(
@@ -224,6 +232,7 @@ class Scene:
         baked = BakedScene(
             data=data, tris=tris,
             has_alpha=has_alpha_materials(materials, atlas),
+            has_normal_maps=bool((nm_tex >= 0).any()),
         )
         object.__setattr__(baked, "host", self)
         return baked
@@ -241,6 +250,9 @@ class BakedScene:
     tris: TriSoA
     # static (non-pytree): does any material have sub-threshold base alpha?
     has_alpha: bool = struct.field(pytree_node=False, default=False)
+    # static: does any material carry a normal map?  Gates the G-buffer's
+    # normal-mapping step (Shading.slang:135-157, primary hits only).
+    has_normal_maps: bool = struct.field(pytree_node=False, default=False)
 
     def intersector(self, brute_threshold: int = 512):
         intersect = make_intersector(
@@ -256,7 +268,7 @@ class BakedScene:
     def with_camera(self, cam) -> "BakedScene":
         out = BakedScene(
             data=self.data.replace(camera=cam), tris=self.tris,
-            has_alpha=self.has_alpha,
+            has_alpha=self.has_alpha, has_normal_maps=self.has_normal_maps,
         )
         object.__setattr__(out, "host", getattr(self, "host", None))
         return out

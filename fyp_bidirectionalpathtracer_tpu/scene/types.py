@@ -82,6 +82,7 @@ class MaterialArray:
     base_color_tex: jnp.ndarray   # [M] int32 atlas slot or -1
     specular_tex: jnp.ndarray     # [M] int32
     emissive_tex: jnp.ndarray     # [M] int32
+    normal_tex: jnp.ndarray       # [M] int32 (Shading.slang:135-157)
 
 
 @struct.dataclass
@@ -96,6 +97,10 @@ class TextureAtlas:
     data: jnp.ndarray             # [T, R, R, 4] float32
     # original sizes kept for completeness / debugging
     sizes: jnp.ndarray            # [T, 2] int32 (w, h)
+    # [T, R, R, 16] wrap-packed 2x2 texel neighborhoods: a bilinear lookup
+    # is ONE 16-column (64 B row) gather — the TPU gather sweet spot —
+    # instead of four 4-column gathers (see ops.texture, CLAUDE.md).
+    packed: jnp.ndarray | None = None
 
     @property
     def resolution(self) -> int:

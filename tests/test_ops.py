@@ -93,10 +93,29 @@ def test_texture_bilinear_exact_at_texels():
 
 
 def test_texture_constant_fallback():
-    atlas = jnp.ones((1, 4, 4, 4))
+    from fyp_bidirectionalpathtracer_tpu.scene.types import TextureAtlas
+
+    atlas = TextureAtlas(
+        data=jnp.ones((1, 4, 4, 4)), sizes=jnp.asarray([[4, 4]], jnp.int32)
+    )
     const = jnp.asarray([[0.1, 0.2, 0.3, 0.4]])
     out = texture.sample_or_constant(atlas, jnp.asarray([-1]), jnp.zeros((1, 2)), const)
     np.testing.assert_allclose(np.asarray(out), np.asarray(const))
+
+
+def test_texture_packed_matches_four_tap():
+    # the wrap-packed one-gather bilinear path must be exact vs the 4-tap form
+    rs = np.random.RandomState(3)
+    data = rs.uniform(0, 1, (3, 8, 8, 4)).astype(np.float32)
+    rx = np.roll(data, -1, axis=2)
+    ry = np.roll(data, -1, axis=1)
+    rxy = np.roll(rx, -1, axis=1)
+    packed = jnp.asarray(np.concatenate([data, rx, ry, rxy], -1))
+    slot = jnp.asarray(rs.randint(0, 3, 64), jnp.int32)
+    uv = jnp.asarray(rs.uniform(-1.5, 2.5, (64, 2)), jnp.float32)
+    ref = texture.sample_atlas_bilinear(jnp.asarray(data), slot, uv)
+    got = texture.sample_atlas_bilinear_packed(packed, slot, uv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
 
 @pytest.mark.parametrize("op", list(tonemap.OPERATOR_NAMES.values()))

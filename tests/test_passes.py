@@ -135,3 +135,53 @@ def test_camera_move_resets_accum(baked):
     r.set_camera_pose((0.5, 0.55, -1.3), (0.5, 0.5, 0.5))
     r.render_frame()
     assert int(r.state.accum.count) == 1  # reset on camera move
+
+
+def _gbuffer_normals(built, size=32):
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import make_shaded_tracer
+
+    bk = Scene.from_built(built, aspect=1.0).bake()
+    trace = make_shaded_tracer(bk)
+    ch = gb.ray_traced_gbuffer(
+        bk, trace, size, size, jnp.uint32(0), jnp.asarray([0.5, 0.5])
+    )
+    pos = np.asarray(ch["WorldPosition"])
+    return np.asarray(ch["WorldNormal"])[..., :3], pos[..., 3] != 0, bk
+
+
+def test_normal_mapping_flat_map_is_identity():
+    # a constant (0.5, 0.5, 1.0) tangent-space map must leave normals exactly
+    # where the unmapped path puts them (Shading.slang:135-157 semantics)
+    plain = cornell_box()
+    n_ref, valid, bk0 = _gbuffer_normals(plain)
+    assert not bk0.has_normal_maps
+
+    mapped = cornell_box()
+    flat = np.zeros((8, 8, 4), np.float32)
+    flat[..., 0:2] = 0.5
+    flat[..., 2] = 1.0
+    flat[..., 3] = 1.0
+    mapped.materials[0].normal_map_image = flat
+    n_flat, valid2, bk1 = _gbuffer_normals(mapped)
+    assert bk1.has_normal_maps
+    np.testing.assert_allclose(n_flat[valid], n_ref[valid], atol=1e-5)
+
+
+def test_normal_mapping_perturbs_and_stays_unit():
+    mapped = cornell_box()
+    tilt = np.zeros((8, 8, 4), np.float32)
+    tilt[..., 0] = 0.5 + 0.25   # lean toward +tangent
+    tilt[..., 1] = 0.5
+    tilt[..., 2] = 1.0
+    tilt[..., 3] = 1.0
+    mapped.materials[0].normal_map_image = tilt
+    n_tilt, valid, _ = _gbuffer_normals(mapped)
+
+    n_ref, _, _ = _gbuffer_normals(cornell_box())
+    # unit everywhere valid
+    np.testing.assert_allclose(
+        np.linalg.norm(n_tilt[valid], axis=-1), 1.0, atol=1e-4
+    )
+    # material 0 covers most of the box: the tilt must actually move normals
+    dev = np.abs(n_tilt[valid] - n_ref[valid]).max()
+    assert dev > 0.1
