@@ -44,11 +44,17 @@ def tea_init(val0, val1, backoff: int = 16):
     return v0
 
 
-def pixel_seeds(width: int, height: int, frame: int | jnp.ndarray, backoff: int = 16):
+def pixel_seeds(width: int, height: int, frame: int | jnp.ndarray, backoff: int = 16,
+                row0=0, sub_height: int | None = None):
     """Seed array [H, W] the way the reference seeds each pixel:
-    initRand(x + y*W, frameCount, 16) (BDPTMain.rt.hlsl:73)."""
+    initRand(x + y*W, frameCount, 16) (BDPTMain.rt.hlsl:73).
+
+    row0/sub_height produce rows [row0, row0+sub_height) of the full-image
+    seed grid (global pixel ids) for the row-sharded shard_map path."""
+    sub_h = height if sub_height is None else sub_height
     xs = jnp.arange(width, dtype=_U32)[None, :]
-    ys = jnp.arange(height, dtype=_U32)[:, None]
+    ys = (jnp.arange(sub_h, dtype=_U32)
+          + jnp.asarray(row0).astype(_U32))[:, None]
     lin = ys * _U32(width) + xs
     frame = jnp.asarray(frame).astype(_U32)
     return tea_init(lin, jnp.broadcast_to(frame, lin.shape), backoff)

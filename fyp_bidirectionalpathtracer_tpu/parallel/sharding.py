@@ -177,6 +177,107 @@ def sharded_megakernel_step(cfg, mesh: Mesh, interpret: bool | None = None):
     return step
 
 
+def sharded_wavefront_step(cfg, mesh: Mesh):
+    """Multi-chip wavefront render step via shard_map — each device runs the
+    full per-bounce wavefront (G-buffer + BDPT) on its row block with the
+    Pallas lane/cluster intersectors INTACT (the SPMD partitioner cannot
+    split a pallas_call, but shard_map executes it locally per device; the
+    megakernel path in sharded_megakernel_step already works this way).
+
+    Global pixel semantics: RNG seeds and estimator-2 pixel projection use
+    global pixel ids (bdpt_pass row0/full_height), so the sharded frame is
+    bit-identical to the single-chip wavefront frame; the estimator-2 splat
+    psums over the mesh (the one cross-chip collective).
+
+    Scope: any scene the wavefront path renders; BMFR disabled (its
+    reprojection + 32x32 regression blocks tap pixels across shard rows —
+    use sharded_render_step for BMFR).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops.shading import make_shaded_tracer
+    from ..passes import bdpt as bdpt_mod
+    from ..passes import bmfr as bmfr_mod
+    from ..passes import gbuffer as gbuffer_mod
+    from ..passes.accumulate import AccumState, accumulate
+
+    n = int(mesh.devices.size)
+    h, w = cfg.height, cfg.width
+    if h % n != 0:
+        raise ValueError(f"row sharding needs height divisible by {n} (got {h})")
+    if cfg.bmfr.enabled and n > 1:
+        raise ValueError(
+            "BMFR under sharded_wavefront_step is unsupported (reprojection"
+            " taps cross shard rows); use sharded_render_step or disable"
+            " cfg.bmfr.enabled"
+        )
+    sub_h = h // n
+
+    rep = P()
+    rows = P(ROW_AXIS)
+    accum_spec = AccumState(last_frame=rows, count=rep)
+    bmfr_spec = bmfr_mod.BMFRState(
+        prev_pos=rows, prev_norm=rows, prev_noisy=rows,
+        prev_filtered=rows, frame_number=rep,
+    )
+
+    def body(baked, camera, accum, bmfr_state, gbuf_frame, bdpt_frame, reset):
+        idx = jax.lax.axis_index(ROW_AXIS)
+        row0 = idx.astype(jnp.int32) * sub_h
+        scene = baked.with_camera(camera)
+        jitter = gbuffer_mod.pixel_jitter_for_frame(
+            bdpt_frame, cfg.gbuffer.jitter_mode
+        )
+        intersect = scene.intersector()
+        trace = make_shaded_tracer(scene)
+        lens_radius = (
+            cfg.gbuffer.focal_length_gui / (2.0 * cfg.gbuffer.f_stop)
+            if cfg.gbuffer.use_thin_lens
+            else 0.0
+        )
+        channels = gbuffer_mod.ray_traced_gbuffer(
+            scene, trace, w, h, gbuf_frame, jitter,
+            use_thin_lens=cfg.gbuffer.use_thin_lens,
+            lens_radius=lens_radius,
+            focal_len=cfg.gbuffer.focal_length_gui,
+            row0=row0, sub_height=sub_h,
+        )
+        frame_img = bdpt_mod.bdpt_pass(
+            scene, intersect, channels, bdpt_frame, jitter, cfg.bdpt,
+            trace=trace, full_height=h, row0=row0, axis_name=ROW_AXIS,
+        )
+        channels["BDPT"] = frame_img
+        accum, accum_img = accumulate(
+            accum, frame_img, cfg.accumulate.max_accum_count, reset=reset
+        )
+        channels["Accumulated"] = accum_img
+        bmfr_state, out = bmfr_mod.bmfr_pass(
+            bmfr_state, channels, camera, cfg.bmfr
+        )
+        channels["PipelineOutput"] = out
+        return channels, accum, bmfr_state
+
+    import inspect
+
+    kw = {}
+    smap_params = inspect.signature(shard_map).parameters
+    if "check_rep" in smap_params:
+        kw["check_rep"] = False
+    elif "check_vma" in smap_params:
+        kw["check_vma"] = False
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, rep, accum_spec, bmfr_spec, rep, rep, rep),
+        out_specs=(rows, accum_spec, bmfr_spec),
+        **kw,
+    )
+    return jax.jit(fn)
+
+
 def sharded_render_step(frame_fn, mesh: Mesh, height: int):
     """Wrap a whole-frame function so its image-shaped inputs/outputs shard
     by rows.  frame_fn signature matches pipeline.renderer.render_frame_fn

@@ -26,6 +26,7 @@ are reproduced under config flags — see utils.config.BDPTConfig.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -257,11 +258,21 @@ def bdpt_pass(
     pixel_jitter,
     cfg: BDPTConfig,
     trace=None,
+    full_height: int | None = None,
+    row0=None,
+    axis_name: str | None = None,
 ):
     """Full BDPT estimator; returns the per-frame radiance image [H,W,4].
 
     Mirrors SimpleDiffuseGIRayGen (BDPTMain.rt.hlsl:42-234); the output
     starts from a cleared texture (BDPTPass.cpp:74).
+
+    Row-sharded shard_map mode (parallel.sharding): `channels` holds this
+    shard's rows [row0, row0+H_local); full_height is the global image
+    height.  RNG seeds and estimator-2 pixel projection use GLOBAL pixel
+    ids; the light-tracing splat (BDPTMain.rt.hlsl:199 writes arbitrary
+    pixels) builds a full-height buffer, psums it over `axis_name` — the
+    one cross-chip collective — and keeps this shard's row block.
     """
     if trace is None:
         from ..ops.shading import make_shaded_tracer
@@ -276,6 +287,8 @@ def bdpt_pass(
     emis4 = channels["Emissive"]
     height, width = pos4.shape[0], pos4.shape[1]
     shape = (height, width)
+    g_height = height if full_height is None else full_height
+    g_row0 = 0 if row0 is None else row0
 
     def shadow_fn(o, d, tmin, tmax, coherent=True):
         return ~intersect(
@@ -290,7 +303,8 @@ def bdpt_pass(
     rough = spec4[..., 3] * spec4[..., 3]
     v = normalize(cam.pos_w - world_pos)
 
-    seed = rng.pixel_seeds(width, height, frame_count)
+    seed = rng.pixel_seeds(width, g_height, frame_count,
+                           row0=g_row0, sub_height=height)
 
     # ---------------- camera subpath ----------------
     d_max = cfg.max_depth
@@ -423,7 +437,7 @@ def bdpt_pass(
     # --- estimator 2: light tracing splats (deterministic scatter-add) ---
     # TPU scatter-add is ~8x slower with a trailing component axis, so each
     # channel scatters into its own flat [H*W] buffer.
-    splat_ch = [jnp.zeros(height * width, jnp.float32) for _ in range(4)]
+    splat_ch = [jnp.zeros(g_height * width, jnp.float32) for _ in range(4)]
     camera_n = normalize(cam.camera_w)
     take_cum = jnp.ones(shape, bool)
     n_e2 = d_max if cfg.enable_light_tracing else 0
@@ -446,7 +460,7 @@ def bdpt_pass(
         dir_to_cam, dis = e2_geom[i]
         facing = dot(camera_n, dir_to_cam) < 0.0
         active = valid & take_cum & facing & e2_vis[i]
-        ix, iy = project_dir_to_pixel(cam, dir_to_cam, (width, height), pixel_jitter)
+        ix, iy = project_dir_to_pixel(cam, dir_to_cam, (width, g_height), pixel_jitter)
         theta1 = saturate(jnp.abs(dot(dir_to_cam, camera_n)))
         theta2 = saturate(jnp.abs(dot(dir_to_cam, last.n)))
         g = theta1 * theta2 / (dis * dis)
@@ -456,9 +470,9 @@ def bdpt_pass(
         shade = light_path[i].color * brdf * g[..., None]
         shade = mat.clamp_vec(shade / (i + 2), cfg.clamp_upper)
         shade = _nan_guard(shade)
-        in_range = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+        in_range = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < g_height)
         ok = active & in_range
-        e2_lin.append(jnp.where(ok, iy * width + ix, height * width).reshape(-1))
+        e2_lin.append(jnp.where(ok, iy * width + ix, g_height * width).reshape(-1))
         e2_adds[0].append(jnp.where(ok, shade[..., 0], 0.0).reshape(-1))
         e2_adds[1].append(jnp.where(ok, shade[..., 1], 0.0).reshape(-1))
         e2_adds[2].append(jnp.where(ok, shade[..., 2], 0.0).reshape(-1))
@@ -469,12 +483,23 @@ def bdpt_pass(
         lin_all = jnp.concatenate(e2_lin)
         rgb_all = jnp.stack([jnp.concatenate(e2_adds[k]) for k in range(3)], -1)
         a_all = jnp.concatenate(e2_adds[3])
-        splat = splat_mod.scatter_add_rgba(
-            cfg.splat_mode, lin_all, rgb_all, a_all, height * width,
+        splat_full = splat_mod.scatter_add_rgba(
+            cfg.splat_mode, lin_all, rgb_all, a_all, g_height * width,
             alpha_is_count=True,
-        ).reshape(shape + (4,))
+        ).reshape((g_height, width, 4))
     else:
-        splat = jnp.stack(splat_ch, -1).reshape(shape + (4,))
+        splat_full = jnp.stack(splat_ch, -1).reshape((g_height, width, 4))
+    if axis_name is not None:
+        # light subpaths on any shard splat to any pixel: reduce the full
+        # image over the mesh (ICI psum), keep this shard's row block
+        splat_full = jax.lax.psum(splat_full, axis_name)
+    if full_height is None:
+        splat = splat_full
+    else:
+        splat = jax.lax.dynamic_slice(
+            splat_full, (jnp.asarray(g_row0, jnp.int32), 0, 0),
+            (height, width, 4),
+        )
     # background pixels wrote (env, 1) before any splats landed (BDPTMain:64);
     # splats then add on top of whatever the target pixel holds.
     result = jnp.where(valid[..., None], out, bg)

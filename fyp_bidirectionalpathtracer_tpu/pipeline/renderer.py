@@ -137,7 +137,13 @@ class Renderer:
             ):
                 # per-shard Pallas megakernel + splat psum over the mesh
                 self._fn = sharding.sharded_megakernel_step(config, mesh)
+            elif not config.bmfr.enabled and config.height % mesh.devices.size == 0:
+                # per-shard wavefront with the Pallas intersectors intact
+                self._fn = sharding.sharded_wavefront_step(config, mesh)
             else:
+                # annotation-based SPMD: XLA partitions gathers globally
+                # (required for BMFR's cross-row reprojection taps) but
+                # sheds the Pallas kernels
                 self._fn = sharding.sharded_render_step(
                     functools.partial(render_frame_fn, cfg=config),
                     mesh, config.height,

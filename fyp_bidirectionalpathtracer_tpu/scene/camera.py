@@ -147,16 +147,23 @@ def begin_frame(cam: CameraData, jitter=None) -> CameraData:
     return cam.replace(prev_view_proj=prev)
 
 
-def camera_ray_dirs(cam: CameraData, width: int, height: int, pixel_jitter):
+def camera_ray_dirs(cam: CameraData, width: int, height: int, pixel_jitter,
+                    row0=0, sub_height: int | None = None):
     """Primary ray directions through each pixel, Falcor ray-gen convention
     (lightProbeGBuffer.rt.hlsl:122-125):
       pixelCenter = (index + jitter) / dim;  ndc = (2,-2)*pixelCenter + (-1,1)
       dir = ndc.x*U + ndc.y*V + W, divided by |W| (NOT normalized).
     Returns [H,W,3] un-normalized dirs (normalize for tracing; keep raw for
     thin-lens focal point math).
+
+    row0/sub_height restrict output to rows [row0, row0+sub_height) of the
+    full image — the shard_map row-sharded path (parallel.sharding); row0
+    may be a traced scalar (lax.axis_index).
     """
+    sub_h = height if sub_height is None else sub_height
     xs = (jnp.arange(width, dtype=jnp.float32) + pixel_jitter[0]) / width
-    ys = (jnp.arange(height, dtype=jnp.float32) + pixel_jitter[1]) / height
+    ys = (jnp.arange(sub_h, dtype=jnp.float32)
+          + jnp.asarray(row0, jnp.float32) + pixel_jitter[1]) / height
     ndc_x = 2.0 * xs - 1.0
     ndc_y = -2.0 * ys + 1.0
     d = (

@@ -140,3 +140,61 @@ def test_sharded_megakernel_rejects_bmfr(n_dev):
     mesh = sharding.make_mesh(n_dev)
     with pytest.raises(ValueError, match="BMFR"):
         sharding.sharded_megakernel_step(cfg, mesh, interpret=True)
+
+
+def test_sharded_wavefront_matches_single(n_dev):
+    """shard_map wavefront step (Pallas-capable path) must reproduce the
+    single-chip wavefront frame: global-pixel RNG seeds, global estimator-2
+    pixel projection, psum splat."""
+    import functools
+
+    from fyp_bidirectionalpathtracer_tpu.models.procedural import cornell_box
+    from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
+        BDPT_FRAME_INIT, GBUF_FRAME_INIT, render_frame_fn,
+    )
+    from fyp_bidirectionalpathtracer_tpu.passes.accumulate import AccumState
+    from fyp_bidirectionalpathtracer_tpu.passes.bmfr import BMFRState
+    from fyp_bidirectionalpathtracer_tpu.scene.scene import Scene
+    from fyp_bidirectionalpathtracer_tpu.utils.config import (
+        BDPTConfig, RenderConfig,
+    )
+
+    h = n_dev * 6
+    w = 48
+    cfg = RenderConfig(width=w, height=h, bdpt=BDPTConfig(megakernel="off"))
+    baked = Scene.from_built(cornell_box(), aspect=w / h).bake()
+    args = (
+        baked, baked.data.camera,
+        AccumState.create(h, w), BMFRState.create(h, w),
+        jnp.uint32(GBUF_FRAME_INIT), jnp.uint32(BDPT_FRAME_INIT),
+        jnp.asarray(False),
+    )
+    fn = functools.partial(render_frame_fn, cfg=cfg)
+    ch_ref, accum_ref, _ = jax.jit(fn)(*args)
+
+    mesh = sharding.make_mesh(n_dev)
+    step = sharding.sharded_wavefront_step(cfg, mesh)
+    ch_sh, accum_sh, _ = step(*args)
+    np.testing.assert_allclose(
+        np.asarray(ch_ref["PipelineOutput"]),
+        np.asarray(ch_sh["PipelineOutput"]),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ch_ref["WorldNormal"]), np.asarray(ch_sh["WorldNormal"]),
+        atol=2e-5,
+    )
+    assert float(accum_sh.count) == float(accum_ref.count)
+
+
+def test_sharded_wavefront_rejects_bmfr(n_dev):
+    from fyp_bidirectionalpathtracer_tpu.utils.config import (
+        BMFRConfig, RenderConfig,
+    )
+
+    cfg = RenderConfig(
+        width=48, height=n_dev * 6, bmfr=BMFRConfig(enabled=True),
+    )
+    mesh = sharding.make_mesh(n_dev)
+    with pytest.raises(ValueError, match="BMFR"):
+        sharding.sharded_wavefront_step(cfg, mesh)
