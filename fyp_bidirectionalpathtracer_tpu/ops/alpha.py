@@ -48,7 +48,8 @@ def _alpha_fails(tris, materials, atlas, hit, origin, direction):
     from .texture import sample_or_constant
 
     base = sample_or_constant(
-        atlas, materials.base_color_tex[m], uv, materials.base_color[m]
+        atlas, materials.base_color_tex[m], uv, materials.base_color[m],
+        static_used=atlas.any_base,
     )
     return hit.hit & (base[..., 3] < materials.alpha_threshold[m])
 
@@ -105,7 +106,7 @@ def wrap_tracer(baked, trace, max_restarts: int = 4):
 
         base = sample_or_constant(
             atlas, materials.base_color_tex[m], sd.uv,
-            materials.base_color[m],
+            materials.base_color[m], static_used=atlas.any_base,
         )
         return hit.hit & (base[..., 3] < materials.alpha_threshold[m])
 

@@ -87,8 +87,10 @@ def shading_from_fields(fields, atlas: TextureAtlas, hit: HitRecord,
     em_tex = fields[..., 25].astype(jnp.int32)
     mat_id = fields[..., 26].astype(jnp.int32)
 
-    base = sample_or_constant(atlas, bc_tex, uv, base_const)
-    spec = sample_or_constant(atlas, sp_tex, uv, spec_const)
+    base = sample_or_constant(atlas, bc_tex, uv, base_const,
+                              static_used=atlas.any_base)
+    spec = sample_or_constant(atlas, sp_tex, uv, spec_const,
+                              static_used=atlas.any_spec)
     opacity = base_const[..., 3]
 
     metal = spec[..., 2:3]
@@ -105,7 +107,8 @@ def shading_from_fields(fields, atlas: TextureAtlas, hit: HitRecord,
     rough = linear_rough * linear_rough
 
     em_const = jnp.concatenate([em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], -1)
-    emissive = sample_or_constant(atlas, em_tex, uv, em_const)[..., :3]
+    emissive = sample_or_constant(atlas, em_tex, uv, em_const,
+                                  static_used=atlas.any_emissive)[..., :3]
 
     v = normalize(view_origin - pos)
     n_dot_v = dot(n, v)
@@ -158,9 +161,11 @@ def prepare_shading_data(
     sp_tex = mrow[..., 15].astype(jnp.int32)
     em_tex = mrow[..., 16].astype(jnp.int32)
 
-    base = sample_or_constant(atlas, bc_tex, uv, base_const)
+    base = sample_or_constant(atlas, bc_tex, uv, base_const,
+                              static_used=atlas.any_base)
     opacity = base_const[..., 3]  # sd.opacity = m.baseColor.a (BDPTUtils:10)
-    spec = sample_or_constant(atlas, sp_tex, uv, spec_const)
+    spec = sample_or_constant(atlas, sp_tex, uv, spec_const,
+                              static_used=atlas.any_spec)
 
     metal_rough = mrow[..., 12] == SHADING_METAL_ROUGH
     # metal-rough: diffuse = lerp(base, 0, metalness=spec.b),
@@ -184,7 +189,8 @@ def prepare_shading_data(
     em_const = jnp.concatenate(
         [em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], axis=-1
     )
-    emissive = sample_or_constant(atlas, em_tex, uv, em_const)[..., :3]
+    emissive = sample_or_constant(atlas, em_tex, uv, em_const,
+                                  static_used=atlas.any_emissive)[..., :3]
 
     v = normalize(camera_pos - pos)
     n_dot_v = dot(n, v)

@@ -71,13 +71,17 @@ def sample_atlas_bilinear_packed(packed, slot, uv):
     return top * (1 - fy) + bot * fy
 
 
-def sample_or_constant(atlas, slot, uv, constant):
+def sample_or_constant(atlas, slot, uv, constant, static_used: bool = True):
     """Texture if slot >= 0 else the constant factor ([...,4] both ways).
 
     `atlas` is the scene TextureAtlas.  Shape-static fast paths: a 1x1 atlas
     needs no bilinear taps, and the dummy single-slot atlas (untextured
-    scene) needs no gather at all.
+    scene) needs no gather at all.  `static_used=False` is the bake-time
+    fact that NO material carries this texture kind (TextureAtlas.any_*):
+    the gather disappears from the program entirely.
     """
+    if not static_used:
+        return constant
     atlas_data = atlas.data
     if atlas_data.shape[1] == 1 and atlas_data.shape[2] == 1:
         if atlas_data.shape[0] == 1:

@@ -183,6 +183,9 @@ class Scene:
                 data=jnp.asarray(data),
                 sizes=jnp.asarray(np.asarray(sizes, np.int32)),
                 packed=jnp.asarray(np.concatenate([data, rx, ry, rxy], -1)),
+                any_base=bool((bc_tex >= 0).any()),
+                any_spec=bool((sp_tex >= 0).any()),
+                any_emissive=bool((em_tex >= 0).any()),
             )
         else:
             atlas = TextureAtlas(

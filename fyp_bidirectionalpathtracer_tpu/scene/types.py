@@ -101,6 +101,13 @@ class TextureAtlas:
     # is ONE 16-column (64 B row) gather — the TPU gather sweet spot —
     # instead of four 4-column gathers (see ops.texture, CLAUDE.md).
     packed: jnp.ndarray | None = None
+    # static per-kind usage flags (bake-time facts): when NO material has
+    # e.g. a specular map, the per-bounce specular gather is skipped
+    # entirely (ops.texture.sample_or_constant static_used).  Default True
+    # = conservative (always gather).
+    any_base: bool = struct.field(pytree_node=False, default=True)
+    any_spec: bool = struct.field(pytree_node=False, default=True)
+    any_emissive: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def resolution(self) -> int:
