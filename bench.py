@@ -77,6 +77,16 @@ def main(width=1280, height=720, depth=3, warmup=3, iters=10):
 
     rays = width * height * rays_per_pixel(depth)
     mrays = rays / dt / 1e6
+
+    # secondary: textured-scene frame time (VERDICT r1 #3 — the reference's
+    # demo content is textured; record the number alongside Cornell)
+    try:
+        from benchmarks.scene_frame_micro import time_scene
+
+        tex = time_scene("textured", width, height, depth, warmup=2, iters=5)
+        tex_ms = tex["ms_per_frame"]
+    except Exception:  # pragma: no cover - keep the headline metric robust
+        tex_ms = None
     print(
         json.dumps(
             {
@@ -89,6 +99,7 @@ def main(width=1280, height=720, depth=3, warmup=3, iters=10):
                     "depth": depth,
                     "rays_per_pixel": rays_per_pixel(depth),
                     "sec_per_frame": round(dt, 5),
+                    "textured_ms_per_frame": tex_ms,
                     "device": str(jax.devices()[0]),
                 },
             }

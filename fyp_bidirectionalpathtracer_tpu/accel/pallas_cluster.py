@@ -111,6 +111,24 @@ def pack_tris_cluster_hbm(tris: TriSoA, ck: int = CK):
     return jnp.pad(pack, ((0, 0), (0, 128 - pack.shape[1])))
 
 
+def cell_cluster_order(rows, aabbs, n_cells: int):
+    """[n_cells, C] int32: per grid-cell cluster visit order, nearest
+    cluster (AABB center to the cell's origin centroid) first.
+
+    Front-to-back iteration makes closest-hit best_t tighten early, so the
+    per-cluster slab test culls far clusters against shrunken [tmin, best_t)
+    intervals — the SIMD analogue of ordered BVH traversal (the DXR
+    hardware's closest-hit early-out, RtScene.cpp:220-308).  For any-hit it
+    occludes lanes sooner, emptying the cell's open set.  Cheap XLA prep:
+    one [cells, C] argsort per wavefront."""
+    o = rows[0:3].reshape(3, n_cells, -1).mean(axis=-1)      # [3, cells]
+    cc = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])               # [C, 3]
+    d2 = ((o.T[:, None, :] - cc[None, :, :]) ** 2).sum(-1)   # [cells, C]
+    # [cells, 1, C]: the per-cell SMEM block is then (1, 1, C), whose
+    # trailing two dims equal the array's — the only legal sub-8 block shape
+    return jnp.argsort(d2, axis=1).astype(jnp.int32)[:, None, :]
+
+
 # ----------------------------------------------------------------- kernels
 def _ray_tiles(r_ref):
     """Load the 8 ray-field rows as [S, 128] tiles."""
@@ -221,12 +239,14 @@ def _bary_fetch(blk12, c, ck, bid, fet_ref):
 
 
 def _cluster_occlusion_kernel(
-    r_ref, aabb_ref, tri_ref, out_ref, occ_ref, *, n_clusters, ck, n_tris
+    r_ref, aabb_ref, order_ref, tri_ref, out_ref, occ_ref,
+    *, n_clusters, ck, n_tris
 ):
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
 
-    def body(c, _):
+    def body(i, _):
+        c = order_ref[0, 0, i]  # nearest-first (cell_cluster_order)
         open_ = occ_ref[...] == 0.0
         overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, tmax)
         pred = jnp.sum((overlap & open_).astype(jnp.float32)) > 0.0
@@ -243,65 +263,143 @@ def _cluster_occlusion_kernel(
 
 
 def _cluster_occlusion_hbm_kernel(
-    r_ref, aabb_ref, tri_hbm, out_ref, occ_ref, blk_ref, sem,
-    *, n_clusters, ck, n_tris
+    r_ref, aabb_ref, order_ref, tri_hbm, out_ref, occ_ref, blk_a, blk_b,
+    sem_a, sem_b, *, n_clusters, ck, n_tris
 ):
-    """Any-hit with the triangle pack resident in HBM: clusters any ray's
-    interval overlaps are DMA-paged into VMEM scratch on demand."""
+    """Any-hit with the triangle pack resident in HBM.
+
+    Demand-paged AND software-pipelined: while cluster order[i] (nearest
+    first, cell_cluster_order) is being tested from one VMEM buffer, the
+    DMA for order[i+1] is already in flight into the other.  The prefetch
+    decision uses the open set *before* cluster i lands — conservative
+    (may page a cluster the test then finds fully occluded) but correct;
+    it hides the per-cluster DMA latency that made the synchronous tier
+    256 ms/1M rays (BASELINE.md round-1 notes)."""
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
 
-    def body(c, _):
+    def pred_for(c):
         open_ = occ_ref[...] == 0.0
         overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, tmax)
-        pred = jnp.sum((overlap & open_).astype(jnp.float32)) > 0.0
+        return jnp.sum((overlap & open_).astype(jnp.float32)) > 0.0
 
-        @pl.when(pred)
+    def start_into(c, blk, sem):
+        pltpu.make_async_copy(tri_hbm.at[pl.ds(c * ck, ck), :], blk, sem).start()
+
+    c0 = order_ref[0, 0, 0]
+    p0 = pred_for(c0)
+
+    @pl.when(p0)
+    def _():
+        start_into(c0, blk_a, sem_a)
+
+    def body(i, started):
+        c = order_ref[0, 0, i]
+        nxt = jnp.minimum(i + 1, n_clusters - 1)
+        cn = order_ref[0, 0, nxt]
+        even = (i % 2) == 0
+        # prefetch decision for i+1 with the CURRENT open set (conservative)
+        pn = (i + 1 < n_clusters) & pred_for(cn)
+
+        @pl.when(pn & even)
         def _():
-            cp = pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * ck, ck), :], blk_ref, sem
-            )
-            cp.start()
-            cp.wait()
+            start_into(cn, blk_b, sem_b)
+
+        @pl.when(pn & jnp.logical_not(even))
+        def _():
+            start_into(cn, blk_a, sem_a)
+
+        @pl.when(started & even)
+        def _():
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * ck, ck), :], blk_a, sem_a
+            ).wait()
             _occl_accumulate(
-                blk_ref[...], c, ck, n_tris, o, d, tmin, tmax, occ_ref
+                blk_a[...], c, ck, n_tris, o, d, tmin, tmax, occ_ref
             )
 
-        return 0
+        @pl.when(started & jnp.logical_not(even))
+        def _():
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * ck, ck), :], blk_b, sem_b
+            ).wait()
+            _occl_accumulate(
+                blk_b[...], c, ck, n_tris, o, d, tmin, tmax, occ_ref
+            )
 
-    jax.lax.fori_loop(0, n_clusters, body, 0)
+        return pn
+
+    jax.lax.fori_loop(0, n_clusters, body, p0)
     out_ref[...] = occ_ref[...]
 
 
 def _cluster_closest_hbm_kernel(
-    r_ref, aabb_ref, tri_hbm, out_ref, bt_ref, bid_ref, fet_ref, blk_ref,
-    sem, *, n_clusters, ck, n_tris, cull_backface,
+    r_ref, aabb_ref, order_ref, tri_hbm, out_ref, bt_ref, bid_ref, fet_ref,
+    blk_a, blk_b, sem_a, sem_b, *, n_clusters, ck, n_tris, cull_backface,
 ):
-    """Lean closest-hit with HBM-resident triangles (demand-paged)."""
+    """Lean closest-hit with HBM-resident triangles.
+
+    Demand-paged AND software-pipelined (see _cluster_occlusion_hbm_kernel):
+    nearest-first cluster order (cell_cluster_order) tightens best_t early,
+    the lookahead-1 prefetch into the alternate VMEM buffer hides the
+    per-cluster DMA latency.  Prefetch predicates use the best_t *before*
+    the current cluster lands — conservative but correct."""
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
 
-    def body(c, _):
-        best = bt_ref[...]
-        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, best)
-        pred = jnp.sum(overlap.astype(jnp.float32)) > 0.0
+    def pred_for(c):
+        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, bt_ref[...])
+        return jnp.sum(overlap.astype(jnp.float32)) > 0.0
 
-        @pl.when(pred)
+    def start_into(c, blk, sem):
+        pltpu.make_async_copy(tri_hbm.at[pl.ds(c * ck, ck), :], blk, sem).start()
+
+    c0 = order_ref[0, 0, 0]
+    p0 = pred_for(c0)
+
+    @pl.when(p0)
+    def _():
+        start_into(c0, blk_a, sem_a)
+
+    def body(i, started):
+        c = order_ref[0, 0, i]
+        nxt = jnp.minimum(i + 1, n_clusters - 1)
+        cn = order_ref[0, 0, nxt]
+        even = (i % 2) == 0
+        pn = (i + 1 < n_clusters) & pred_for(cn)
+
+        @pl.when(pn & even)
         def _():
-            cp = pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * ck, ck), :], blk_ref, sem
-            )
-            cp.start()
-            cp.wait()
+            start_into(cn, blk_b, sem_b)
+
+        @pl.when(pn & jnp.logical_not(even))
+        def _():
+            start_into(cn, blk_a, sem_a)
+
+        @pl.when(started & even)
+        def _():
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * ck, ck), :], blk_a, sem_a
+            ).wait()
             _closest_update(
-                blk_ref[...], c, ck, n_tris, o, d, tmin, cull_backface,
+                blk_a[...], c, ck, n_tris, o, d, tmin, cull_backface,
                 bt_ref, bid_ref,
             )
 
-        return 0
+        @pl.when(started & jnp.logical_not(even))
+        def _():
+            pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * ck, ck), :], blk_b, sem_b
+            ).wait()
+            _closest_update(
+                blk_b[...], c, ck, n_tris, o, d, tmin, cull_backface,
+                bt_ref, bid_ref,
+            )
 
-    jax.lax.fori_loop(0, n_clusters, body, 0)
+        return pn
+
+    jax.lax.fori_loop(0, n_clusters, body, p0)
 
     bid = bid_ref[...]
     t_ = bt_ref[...]
@@ -314,11 +412,11 @@ def _cluster_closest_hbm_kernel(
         @pl.when(pred)
         def _():
             cp = pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * ck, ck), :], blk_ref, sem
+                tri_hbm.at[pl.ds(c * ck, ck), :], blk_a, sem_a
             )
             cp.start()
             cp.wait()
-            _bary_fetch(blk_ref[:, 0:12], c, ck, bid, fet_ref)
+            _bary_fetch(blk_a[:, 0:12], c, ck, bid, fet_ref)
 
         return 0
 
@@ -345,14 +443,15 @@ def _cluster_closest_hbm_kernel(
 
 
 def _cluster_shaded_kernel(
-    r_ref, aabb_ref, tri_ref, out_ref, bt_ref, bid_ref, fet_ref,
+    r_ref, aabb_ref, order_ref, tri_ref, out_ref, bt_ref, bid_ref, fet_ref,
     *, n_clusters, ck, n_tris, cull_backface,
 ):
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
 
-    def body(c, _):
+    def body(i, _):
+        c = order_ref[0, 0, i]  # nearest-first (cell_cluster_order)
         best = bt_ref[...]
         overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, best)
         pred = jnp.sum(overlap.astype(jnp.float32)) > 0.0
@@ -459,7 +558,7 @@ def _cluster_shaded_kernel(
 
 
 def _cluster_closest_kernel(
-    r_ref, aabb_ref, tri_ref, out_ref, bt_ref, bid_ref, fet_ref,
+    r_ref, aabb_ref, order_ref, tri_ref, out_ref, bt_ref, bid_ref, fet_ref,
     *, n_clusters, ck, n_tris, cull_backface,
 ):
     """Lean closest-hit over the [T,16] Baldwin-Weber pack: outputs only
@@ -471,7 +570,8 @@ def _cluster_closest_kernel(
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
 
-    def body(c, _):
+    def body(i, _):
+        c = order_ref[0, 0, i]  # nearest-first (cell_cluster_order)
         best = bt_ref[...]
         overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, best)
         pred = jnp.sum(overlap.astype(jnp.float32)) > 0.0
@@ -531,6 +631,7 @@ def _cluster_closest_kernel(
 def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                               interpret):
     n_cols = rows.shape[1]
+    order = cell_cluster_order(rows, aabbs, n_cols // S)
     return pl.pallas_call(
         functools.partial(
             _cluster_occlusion_kernel,
@@ -542,6 +643,8 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -550,7 +653,7 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
         out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
         scratch_shapes=[pltpu.VMEM((S, LANE), jnp.float32)],
         interpret=interpret,
-    )(rows, aabbs, tri_pack)
+    )(rows, aabbs, order, tri_pack)
 
 
 @functools.partial(
@@ -561,6 +664,7 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
 def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                            cull_backface, interpret):
     n_cols = rows.shape[1]
+    order = cell_cluster_order(rows, aabbs, n_cols // S)
     return pl.pallas_call(
         functools.partial(
             _cluster_shaded_kernel,
@@ -572,6 +676,8 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -585,7 +691,7 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             pltpu.VMEM((S, _ATTR_HI, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(rows, aabbs, tri_pack)
+    )(rows, aabbs, order, tri_pack)
 
 
 @functools.partial(
@@ -596,6 +702,7 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
 def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                             cull_backface, interpret):
     n_cols = rows.shape[1]
+    order = cell_cluster_order(rows, aabbs, n_cols // S)
     return pl.pallas_call(
         functools.partial(
             _cluster_closest_kernel,
@@ -607,6 +714,8 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -620,7 +729,7 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             pltpu.VMEM((S, 12, LANE), jnp.float32),  # BW winner rows
         ],
         interpret=interpret,
-    )(rows, aabbs, tri_pack)
+    )(rows, aabbs, order, tri_pack)
 
 
 def intersect_closest_clusters(
@@ -667,6 +776,7 @@ def intersect_closest_clusters(
 def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                                   n_tris, interpret):
     n_cols = rows.shape[1]
+    order = cell_cluster_order(rows, aabbs, n_cols // S)
     return pl.pallas_call(
         functools.partial(
             _cluster_occlusion_hbm_kernel,
@@ -678,6 +788,8 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
         ],
         out_specs=pl.BlockSpec((S, LANE), lambda i: (i, 0),
@@ -685,11 +797,13 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
         out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((S, LANE), jnp.float32),
-            pltpu.VMEM((ck, 128), jnp.float32),  # DMA landing block (lane-padded)
+            pltpu.VMEM((ck, 128), jnp.float32),  # DMA double buffer A
+            pltpu.VMEM((ck, 128), jnp.float32),  # DMA double buffer B
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rows, aabbs, tri_pack)
+    )(rows, aabbs, order, tri_pack)
 
 
 @functools.partial(
@@ -700,6 +814,7 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
 def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                                 n_tris, cull_backface, interpret):
     n_cols = rows.shape[1]
+    order = cell_cluster_order(rows, aabbs, n_cols // S)
     return pl.pallas_call(
         functools.partial(
             _cluster_closest_hbm_kernel,
@@ -712,6 +827,8 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
         ],
         out_specs=pl.BlockSpec((4, S, LANE), lambda i: (0, i, 0),
@@ -721,11 +838,13 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
             pltpu.VMEM((S, LANE), jnp.float32),
             pltpu.VMEM((S, LANE), jnp.int32),
             pltpu.VMEM((S, 12, LANE), jnp.float32),
-            pltpu.VMEM((ck, 128), jnp.float32),  # DMA landing block (lane-padded)
+            pltpu.VMEM((ck, 128), jnp.float32),  # DMA double buffer A
+            pltpu.VMEM((ck, 128), jnp.float32),  # DMA double buffer B
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rows, aabbs, tri_pack)
+    )(rows, aabbs, order, tri_pack)
 
 
 def occluded_clusters_hbm(tris, origin, direction, t_min, t_max=None,

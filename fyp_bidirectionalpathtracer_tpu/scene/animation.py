@@ -24,6 +24,10 @@ class Path:
     name: str = "path"
     loop: bool = True
     frames: list = field(default_factory=list)  # list[Keyframe], time-sorted
+    # (type, name) pairs from the .fscene attached_objects list
+    # (SceneImporter.cpp:776, kAttachedObjects): 'camera' | 'model_instance'
+    # | 'light'
+    attached: list = field(default_factory=list)
 
     @property
     def duration(self) -> float:
@@ -64,4 +68,35 @@ def path_from_dict(d: dict) -> Path:
         for f in d.get("frames", [])
     ]
     frames.sort(key=lambda f: f.time)
-    return Path(name=d.get("name", "path"), loop=bool(d.get("loop", False)), frames=frames)
+    attached = [
+        (a.get("type", "camera"), a.get("name", ""))
+        for a in d.get("attached_objects", [])
+    ]
+    return Path(name=d.get("name", "path"), loop=bool(d.get("loop", False)),
+                frames=frames, attached=attached)
+
+
+def rigid_transform_at(path: Path, t: float):
+    """(R [3,3], translation [3]) placing an attached object at time t.
+
+    Falcor moves attached IMovableObjects with move(position, target, up)
+    (ObjectPath.cpp / MovableObject semantics): orientation looks from pos
+    toward target with the given up; we return the equivalent rigid
+    transform mapping the object's rest frame (forward -z, up +y, origin 0)
+    to the keyframed pose."""
+    pos, target, up = path.sample(t)
+    fwd = target - pos
+    n = np.linalg.norm(fwd)
+    if n < 1e-12:
+        return np.eye(3, dtype=np.float32), pos.astype(np.float32)
+    fwd = fwd / n
+    right = np.cross(fwd, up)
+    rn = np.linalg.norm(right)
+    if rn < 1e-12:
+        right = np.cross(fwd, [0.0, 0.0, 1.0])
+        rn = np.linalg.norm(right)
+    right = right / rn
+    true_up = np.cross(right, fwd)
+    # columns: rest +x -> right, rest +y -> true_up, rest -z -> fwd
+    r = np.stack([right, true_up, -fwd], axis=1).astype(np.float32)
+    return r, pos.astype(np.float32)
