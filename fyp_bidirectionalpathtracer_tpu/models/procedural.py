@@ -22,6 +22,7 @@ class MeshData:
     uvs: np.ndarray        # [V,2]
     indices: np.ndarray    # [F,3] int32
     material: int = 0      # index into the scene's material list
+    name: str = ""         # instance name (path attachment target)
 
 
 @dataclass

@@ -165,12 +165,27 @@ class Renderer:
         )
 
     def animate(self, dt: float):
-        """Advance the active camera path (Scene::update semantics)."""
+        """Advance the active camera path and any object paths
+        (Scene::update semantics, Scene.cpp:106-125)."""
         host = self.baked.host
+        advanced = False
         if host.camera_paths:
             self.state.time += dt * host.camera_speed
+            advanced = True
             pos, tgt, up = host.camera_paths[0].sample(self.state.time)
             self.set_camera_pose(pos, tgt, up)
+        if getattr(host, "object_paths", None):
+            if not advanced:
+                self.state.time += dt * host.camera_speed
+            if host.update_objects(self.state.time):
+                # geometry moved: re-bake (the DXR BLAS-refit analogue);
+                # shapes are unchanged so the jitted frame fn does not
+                # retrace — only the scene arrays are swapped
+                cam = self.camera
+                self.baked = host.bake(
+                    max_lights=int(self.baked.data.lights.pos_w.shape[0])
+                )
+                self.camera = cam
 
     # -- frame loop ------------------------------------------------------
     def render_frame(self):

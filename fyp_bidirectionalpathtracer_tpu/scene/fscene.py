@@ -91,6 +91,7 @@ def load_fscene(path: str, allow_missing_models: bool = True) -> Scene:
                     inst.get("rotation", (0, 0, 0)),
                 )
                 mi.material = m.material + mat_off
+                mi.name = inst.get("name", model.get("name", fname))
                 scene.meshes.append(mi)
 
     # ---- lights ----
@@ -98,6 +99,7 @@ def load_fscene(path: str, allow_missing_models: bool = True) -> Scene:
         kind = l.get("type", "point_light")
         entry = {
             "type": "dir" if kind == "dir_light" else "point",
+            "name": l.get("name", ""),
             "pos": tuple(l.get("pos", (0, 0, 0))),
             "dir": tuple(l.get("direction", (0, -1, 0))),
             "intensity": tuple(l.get("intensity", (1, 1, 1))),
@@ -126,8 +128,15 @@ def load_fscene(path: str, allow_missing_models: bool = True) -> Scene:
         break
 
     # ---- paths ----
+    # route by attached_objects (SceneImporter.cpp:776): camera attachments
+    # (or none — legacy default) drive the camera, the rest animate objects
     for p in doc.get("paths", []):
-        scene.camera_paths.append(animation.path_from_dict(p))
+        parsed = animation.path_from_dict(p)
+        kinds = {k for k, _ in parsed.attached}
+        if not parsed.attached or "camera" in kinds:
+            scene.camera_paths.append(parsed)
+        if kinds - {"camera"}:
+            scene.object_paths.append(parsed)
 
     scene.apply_default_fixups()
     return scene

@@ -47,6 +47,9 @@ class Scene:
     camera: camera_mod.CameraData | None = None
     env_map: np.ndarray | None = None                   # [h,w,4] or None
     camera_paths: list = field(default_factory=list)    # list[animation.Path]
+    # paths whose attached_objects name model instances or lights
+    # (SceneImporter.cpp:776 kAttachedObjects; Scene::update animates them)
+    object_paths: list = field(default_factory=list)
     lighting_scale: float = 1.0
     camera_speed: float = 1.0
     name: str = "scene"
@@ -86,6 +89,45 @@ class Scene:
                 far_z=max(1000.0, 10.0 * radius),
             )
         return self
+
+    def update_objects(self, time: float) -> bool:
+        """Scene::update for non-camera attachments (Scene.cpp:106-125):
+        pose every path-attached model instance / light at `time`.
+
+        Model instances move rigidly (MovableObject::move look-at pose,
+        animation.rigid_transform_at) from their REST geometry, captured on
+        first touch; returns True when anything moved (caller re-bakes —
+        the DXR BLAS-refit analogue)."""
+        from . import animation as animation_mod
+
+        changed = False
+        for path in self.object_paths:
+            r, t = animation_mod.rigid_transform_at(path, time)
+            for kind, name in path.attached:
+                if kind == "camera":
+                    continue
+                if kind == "light":
+                    for entry in self.lights:
+                        if entry.get("name") == name:
+                            pos, target, up = path.sample(time)
+                            d = target - pos
+                            n = np.linalg.norm(d)
+                            entry["pos"] = tuple(pos)
+                            if n > 1e-12:
+                                entry["dir"] = tuple(d / n)
+                            changed = True
+                    continue
+                for mesh in self.meshes:
+                    if mesh.name != name:
+                        continue
+                    rest = getattr(mesh, "_rest", None)
+                    if rest is None:
+                        rest = (mesh.positions.copy(), mesh.normals.copy())
+                        mesh._rest = rest
+                    mesh.positions = rest[0] @ r.T + t
+                    mesh.normals = rest[1] @ r.T
+                    changed = True
+        return changed
 
     def bounds(self):
         if not self.meshes:
