@@ -154,6 +154,33 @@ def _slab_tiles(aabb_ref, c, o, inv_d, tmin, tmax):
     return (t_enter <= t_exit) & (t_exit >= tmin) & (t_enter <= tmax)
 
 
+G = 8  # clusters per culling group (one scalar branch per group)
+
+
+def _group_overlaps(order_ref, aabb_ref, g, o, inv_d, tmin, tmax, n_clusters):
+    """Slab-test the G ordered clusters of group g in one vector pass.
+
+    Returns (cluster ids [G], per-cluster [S,LANE] overlap masks [G],
+    group_any scalar).  The vector->scalar sync + branch is the dominant
+    per-cluster cost of the naive loop (~1-2 us each, measured: cell time
+    scales with cluster COUNT not tested clusters); batching G slab tests
+    behind ONE reduction+branch cuts that overhead G-fold for culled
+    groups."""
+    cs, ovs = [], []
+    acc = None
+    for j in range(G):
+        idx = g * G + j
+        in_range = idx < n_clusters          # traced bool (grid-static g)
+        c_j = order_ref[0, 0, jnp.minimum(idx, n_clusters - 1)]
+        ov = _slab_tiles(aabb_ref, c_j, o, inv_d, tmin, tmax)
+        ov = ov & in_range
+        cs.append(c_j)
+        ovs.append(ov)
+        acc = ov if acc is None else (acc | ov)
+    group_any = jnp.sum(acc.astype(jnp.float32)) > 0.0
+    return cs, ovs, group_any
+
+
 def _pair_test_block(blk, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface):
     """[ck, 128] Baldwin-Weber test of one loaded triangle block against one
     lane-row of rays (value-typed twin of pallas_lane._pair_test)."""
@@ -245,182 +272,159 @@ def _cluster_occlusion_kernel(
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
 
-    def body(i, _):
-        c = order_ref[0, 0, i]  # nearest-first (cell_cluster_order)
+    def body(g, _):
         open_ = occ_ref[...] == 0.0
-        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, tmax)
-        pred = jnp.sum((overlap & open_).astype(jnp.float32)) > 0.0
+        cs, ovs, group_any = _group_overlaps(
+            order_ref, aabb_ref, g, o, inv_d, tmin,
+            jnp.where(open_, tmax, -_BIG), n_clusters,
+        )
 
-        @pl.when(pred)
+        @pl.when(group_any)
         def _():
-            blk = tri_ref[pl.ds(c * ck, ck), :]
-            _occl_accumulate(blk, c, ck, n_tris, o, d, tmin, tmax, occ_ref)
+            for j in range(G):
+                c = cs[j]
+                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
+
+                @pl.when(pred)
+                def _():
+                    blk = tri_ref[pl.ds(c * ck, ck), :]
+                    _occl_accumulate(
+                        blk, c, ck, n_tris, o, d, tmin, tmax, occ_ref
+                    )
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, body, 0)
+    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
     out_ref[...] = occ_ref[...]
 
 
 def _cluster_occlusion_hbm_kernel(
-    r_ref, aabb_ref, order_ref, tri_hbm, out_ref, occ_ref, blk_a, blk_b,
-    sem_a, sem_b, *, n_clusters, ck, n_tris
+    r_ref, aabb_ref, order_ref, tri_hbm, out_ref, occ_ref, *bufs,
+    n_clusters, ck, n_tris
 ):
     """Any-hit with the triangle pack resident in HBM.
 
-    Demand-paged AND software-pipelined: while cluster order[i] (nearest
-    first, cell_cluster_order) is being tested from one VMEM buffer, the
-    DMA for order[i+1] is already in flight into the other.  The prefetch
-    decision uses the open set *before* cluster i lands — conservative
-    (may page a cluster the test then finds fully occluded) but correct;
-    it hides the per-cluster DMA latency that made the synchronous tier
-    256 ms/1M rays (BASELINE.md round-1 notes)."""
+    Grouped demand paging: G ordered clusters share one vector slab pass +
+    one scalar branch (see _group_overlaps — the per-cluster scalar sync is
+    the dominant cost of the naive loop), and a surviving group issues ALL
+    its cluster DMAs back-to-back into per-slot VMEM buffers before the
+    first wait, so transfer j+1..G overlaps pair-test j."""
+    blks, sems = bufs[:G], bufs[G:]
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
 
-    def pred_for(c):
+    def body(g, _):
         open_ = occ_ref[...] == 0.0
-        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, tmax)
-        return jnp.sum((overlap & open_).astype(jnp.float32)) > 0.0
+        cs, ovs, group_any = _group_overlaps(
+            order_ref, aabb_ref, g, o, inv_d, tmin,
+            jnp.where(open_, tmax, -_BIG), n_clusters,
+        )
 
-    def start_into(c, blk, sem):
-        pltpu.make_async_copy(tri_hbm.at[pl.ds(c * ck, ck), :], blk, sem).start()
-
-    c0 = order_ref[0, 0, 0]
-    p0 = pred_for(c0)
-
-    @pl.when(p0)
-    def _():
-        start_into(c0, blk_a, sem_a)
-
-    def body(i, started):
-        c = order_ref[0, 0, i]
-        nxt = jnp.minimum(i + 1, n_clusters - 1)
-        cn = order_ref[0, 0, nxt]
-        even = (i % 2) == 0
-        # prefetch decision for i+1 with the CURRENT open set (conservative)
-        pn = (i + 1 < n_clusters) & pred_for(cn)
-
-        @pl.when(pn & even)
+        @pl.when(group_any)
         def _():
-            start_into(cn, blk_b, sem_b)
+            for j in range(G):
+                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
 
-        @pl.when(pn & jnp.logical_not(even))
-        def _():
-            start_into(cn, blk_a, sem_a)
+                @pl.when(pred)
+                def _():
+                    pltpu.make_async_copy(
+                        tri_hbm.at[pl.ds(cs[j] * ck, ck), :], blks[j], sems[j]
+                    ).start()
+            for j in range(G):
+                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
 
-        @pl.when(started & even)
-        def _():
-            pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * ck, ck), :], blk_a, sem_a
-            ).wait()
-            _occl_accumulate(
-                blk_a[...], c, ck, n_tris, o, d, tmin, tmax, occ_ref
-            )
+                @pl.when(pred)
+                def _():
+                    pltpu.make_async_copy(
+                        tri_hbm.at[pl.ds(cs[j] * ck, ck), :], blks[j], sems[j]
+                    ).wait()
+                    _occl_accumulate(
+                        blks[j][...], cs[j], ck, n_tris, o, d, tmin, tmax,
+                        occ_ref,
+                    )
 
-        @pl.when(started & jnp.logical_not(even))
-        def _():
-            pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * ck, ck), :], blk_b, sem_b
-            ).wait()
-            _occl_accumulate(
-                blk_b[...], c, ck, n_tris, o, d, tmin, tmax, occ_ref
-            )
+        return 0
 
-        return pn
-
-    jax.lax.fori_loop(0, n_clusters, body, p0)
+    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
     out_ref[...] = occ_ref[...]
 
 
 def _cluster_closest_hbm_kernel(
     r_ref, aabb_ref, order_ref, tri_hbm, out_ref, bt_ref, bid_ref, fet_ref,
-    blk_a, blk_b, sem_a, sem_b, *, n_clusters, ck, n_tris, cull_backface,
+    *bufs, n_clusters, ck, n_tris, cull_backface,
 ):
     """Lean closest-hit with HBM-resident triangles.
 
-    Demand-paged AND software-pipelined (see _cluster_occlusion_hbm_kernel):
-    nearest-first cluster order (cell_cluster_order) tightens best_t early,
-    the lookahead-1 prefetch into the alternate VMEM buffer hides the
-    per-cluster DMA latency.  Prefetch predicates use the best_t *before*
-    the current cluster lands — conservative but correct."""
+    Nearest-first order (cell_cluster_order) tightens best_t early; grouped
+    slab culling (see _group_overlaps) pays one scalar branch per G
+    clusters; a surviving group's DMAs are all in flight before the first
+    pair test (intra-group pipelining).  Prefetch predicates use best_t at
+    group entry — conservative but correct."""
+    blks, sems = bufs[:G], bufs[G:]
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
 
-    def pred_for(c):
-        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, bt_ref[...])
-        return jnp.sum(overlap.astype(jnp.float32)) > 0.0
+    def body(g, _):
+        best = bt_ref[...]
+        cs, ovs, group_any = _group_overlaps(
+            order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
+        )
 
-    def start_into(c, blk, sem):
-        pltpu.make_async_copy(tri_hbm.at[pl.ds(c * ck, ck), :], blk, sem).start()
-
-    c0 = order_ref[0, 0, 0]
-    p0 = pred_for(c0)
-
-    @pl.when(p0)
-    def _():
-        start_into(c0, blk_a, sem_a)
-
-    def body(i, started):
-        c = order_ref[0, 0, i]
-        nxt = jnp.minimum(i + 1, n_clusters - 1)
-        cn = order_ref[0, 0, nxt]
-        even = (i % 2) == 0
-        pn = (i + 1 < n_clusters) & pred_for(cn)
-
-        @pl.when(pn & even)
+        @pl.when(group_any)
         def _():
-            start_into(cn, blk_b, sem_b)
+            for j in range(G):
+                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
 
-        @pl.when(pn & jnp.logical_not(even))
-        def _():
-            start_into(cn, blk_a, sem_a)
+                @pl.when(pred)
+                def _():
+                    pltpu.make_async_copy(
+                        tri_hbm.at[pl.ds(cs[j] * ck, ck), :], blks[j], sems[j]
+                    ).start()
+            for j in range(G):
+                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
 
-        @pl.when(started & even)
-        def _():
-            pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * ck, ck), :], blk_a, sem_a
-            ).wait()
-            _closest_update(
-                blk_a[...], c, ck, n_tris, o, d, tmin, cull_backface,
-                bt_ref, bid_ref,
-            )
+                @pl.when(pred)
+                def _():
+                    pltpu.make_async_copy(
+                        tri_hbm.at[pl.ds(cs[j] * ck, ck), :], blks[j], sems[j]
+                    ).wait()
+                    _closest_update(
+                        blks[j][...], cs[j], ck, n_tris, o, d, tmin,
+                        cull_backface, bt_ref, bid_ref,
+                    )
 
-        @pl.when(started & jnp.logical_not(even))
-        def _():
-            pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * ck, ck), :], blk_b, sem_b
-            ).wait()
-            _closest_update(
-                blk_b[...], c, ck, n_tris, o, d, tmin, cull_backface,
-                bt_ref, bid_ref,
-            )
+        return 0
 
-        return pn
-
-    jax.lax.fori_loop(0, n_clusters, body, p0)
+    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
 
     bid = bid_ref[...]
     t_ = bt_ref[...]
     fet_ref[...] = jnp.zeros((S, 12, LANE), jnp.float32)
 
-    def fetch(c, _):
-        in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
-        pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
+    def fetch(g, _):
+        in_g = (bid >= g * G * ck) & (bid < (g + 1) * G * ck)
+        g_any = jnp.sum(in_g.astype(jnp.float32)) > 0.0
 
-        @pl.when(pred)
+        @pl.when(g_any)
         def _():
-            cp = pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * ck, ck), :], blk_a, sem_a
-            )
-            cp.start()
-            cp.wait()
-            _bary_fetch(blk_a[:, 0:12], c, ck, bid, fet_ref)
+            for j in range(G):
+                c = g * G + j
+                in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
+                pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
+
+                @pl.when(pred)
+                def _():
+                    cp = pltpu.make_async_copy(
+                        tri_hbm.at[pl.ds(c * ck, ck), :], blks[0], sems[0]
+                    )
+                    cp.start()
+                    cp.wait()
+                    _bary_fetch(blks[0][:, 0:12], c, ck, bid, fet_ref)
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, fetch, 0)
+    jax.lax.fori_loop(0, -(-n_clusters // G), fetch, 0)
 
     def attr(k):
         return jnp.concatenate(
@@ -450,20 +454,26 @@ def _cluster_shaded_kernel(
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
 
-    def body(i, _):
-        c = order_ref[0, 0, i]  # nearest-first (cell_cluster_order)
+    def body(g, _):
         best = bt_ref[...]
-        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, best)
-        pred = jnp.sum(overlap.astype(jnp.float32)) > 0.0
+        cs, ovs, group_any = _group_overlaps(
+            order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
+        )
 
-        @pl.when(pred)
+        @pl.when(group_any)
         def _():
-            blk = tri_ref[pl.ds(c * ck, ck), :]
-            sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
-            sub_f = sub.astype(jnp.float32)
-            tri_ids = sub + c * ck
-            in_scene = tri_ids < n_tris
-            for s in range(S):
+          for j in range(G):
+            c = cs[j]
+            pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
+
+            @pl.when(pred)
+            def _():
+              blk = tri_ref[pl.ds(c * ck, ck), :]
+              sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
+              sub_f = sub.astype(jnp.float32)
+              tri_ids = sub + c * ck
+              in_scene = tri_ids < n_tris
+              for s in range(S):
                 best_t = bt_ref[s:s + 1, :]
                 valid, t = _pair_test_block(
                     blk,
@@ -490,32 +500,41 @@ def _cluster_shaded_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, body, 0)
+    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
 
     # winner-attribute fetch: only clusters owning some lane's winner
     fet_ref[...] = jnp.zeros((S, _ATTR_HI, LANE), jnp.float32)
     bid = bid_ref[...]
 
-    def fetch(c, _):
-        in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
-        pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
+    def fetch(g, _):
+        in_g = (bid >= g * G * ck) & (bid < (g + 1) * G * ck)
+        g_any = jnp.sum(in_g.astype(jnp.float32)) > 0.0
 
-        @pl.when(pred)
+        @pl.when(g_any)
         def _():
-            blk = tri_ref[pl.ds(c * ck, ck), 0:_ATTR_HI]  # [ck, 45]
-            sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
-            for s in range(S):
-                local = bid[s:s + 1, :] - c * ck
-                pick = ((sub == local) & in_c[s:s + 1, :]).astype(jnp.float32)
-                fet_ref[s] = fet_ref[s] + jax.lax.dot_general(
-                    blk, pick, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [45, 128]
+            for j in range(G):
+                c = g * G + j
+                in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
+                pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
+
+                @pl.when(pred)
+                def _():
+                    blk = tri_ref[pl.ds(c * ck, ck), 0:_ATTR_HI]  # [ck, 45]
+                    sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
+                    for s in range(S):
+                        local = bid[s:s + 1, :] - c * ck
+                        pick = ((sub == local) & in_c[s:s + 1, :]).astype(
+                            jnp.float32
+                        )
+                        fet_ref[s] = fet_ref[s] + jax.lax.dot_general(
+                            blk, pick, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [45, 128]
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, fetch, 0)
+    jax.lax.fori_loop(0, -(-n_clusters // G), fetch, 0)
 
     # ---- assemble the OUT_W field table (pallas_lane layout) ----
     t_ = bt_ref[...]
@@ -570,39 +589,54 @@ def _cluster_closest_kernel(
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
 
-    def body(i, _):
-        c = order_ref[0, 0, i]  # nearest-first (cell_cluster_order)
+    def body(g, _):
         best = bt_ref[...]
-        overlap = _slab_tiles(aabb_ref, c, o, inv_d, tmin, best)
-        pred = jnp.sum(overlap.astype(jnp.float32)) > 0.0
+        cs, ovs, group_any = _group_overlaps(
+            order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
+        )
 
-        @pl.when(pred)
+        @pl.when(group_any)
         def _():
-            _closest_update(
-                tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d, tmin,
-                cull_backface, bt_ref, bid_ref,
-            )
+            for j in range(G):
+                c = cs[j]
+                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
+
+                @pl.when(pred)
+                def _():
+                    _closest_update(
+                        tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d,
+                        tmin, cull_backface, bt_ref, bid_ref,
+                    )
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, body, 0)
+    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
 
     # bary refetch: one-hot over winner clusters only (BW rows 4..11)
     bid = bid_ref[...]
     t_ = bt_ref[...]
     fet_ref[...] = jnp.zeros((S, 12, LANE), jnp.float32)
 
-    def fetch(c, _):
-        in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
-        pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
+    def fetch(g, _):
+        in_g = (bid >= g * G * ck) & (bid < (g + 1) * G * ck)
+        g_any = jnp.sum(in_g.astype(jnp.float32)) > 0.0
 
-        @pl.when(pred)
+        @pl.when(g_any)
         def _():
-            _bary_fetch(tri_ref[pl.ds(c * ck, ck), 0:12], c, ck, bid, fet_ref)
+            for j in range(G):
+                c = g * G + j
+                in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
+                pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
+
+                @pl.when(pred)
+                def _():
+                    _bary_fetch(
+                        tri_ref[pl.ds(c * ck, ck), 0:12], c, ck, bid, fet_ref
+                    )
 
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, fetch, 0)
+    jax.lax.fori_loop(0, -(-n_clusters // G), fetch, 0)
 
     def attr(k):
         return jnp.concatenate(
@@ -795,13 +829,11 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
         out_specs=pl.BlockSpec((S, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((S, LANE), jnp.float32),
-            pltpu.VMEM((ck, 128), jnp.float32),  # DMA double buffer A
-            pltpu.VMEM((ck, 128), jnp.float32),  # DMA double buffer B
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((S, LANE), jnp.float32)]
+            + [pltpu.VMEM((ck, 128), jnp.float32) for _ in range(G)]
+            + [pltpu.SemaphoreType.DMA for _ in range(G)]
+        ),
         interpret=interpret,
     )(rows, aabbs, order, tri_pack)
 
@@ -834,15 +866,15 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
         out_specs=pl.BlockSpec((4, S, LANE), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n_cols, LANE), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((S, LANE), jnp.float32),
-            pltpu.VMEM((S, LANE), jnp.int32),
-            pltpu.VMEM((S, 12, LANE), jnp.float32),
-            pltpu.VMEM((ck, 128), jnp.float32),  # DMA double buffer A
-            pltpu.VMEM((ck, 128), jnp.float32),  # DMA double buffer B
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((S, LANE), jnp.float32),
+                pltpu.VMEM((S, LANE), jnp.int32),
+                pltpu.VMEM((S, 12, LANE), jnp.float32),
+            ]
+            + [pltpu.VMEM((ck, 128), jnp.float32) for _ in range(G)]
+            + [pltpu.SemaphoreType.DMA for _ in range(G)]
+        ),
         interpret=interpret,
     )(rows, aabbs, order, tri_pack)
 
