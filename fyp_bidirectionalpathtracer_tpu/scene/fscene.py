@@ -67,6 +67,12 @@ def load_fscene(path: str, allow_missing_models: bool = True) -> Scene:
         mats: list[MaterialDesc] = []
         if fname.lower().endswith(".obj") and os.path.exists(full):
             meshes, mats = load_obj(full)
+        elif fname.lower().endswith(".fbx") and os.path.exists(full):
+            # user-supplied binary FBX (e.g. a real packman-fetched
+            # pink_room.fbx) — models.fbx minimal static-mesh importer
+            from ..models.fbx import load_fbx
+
+            meshes, mats = load_fbx(full)
         elif allow_missing_models:
             if "pink_room" in fname.lower():
                 # the authored stand-in for the packman-fetched FBX, with
