@@ -65,7 +65,7 @@ def main():
 
     out = [None]
 
-    for ck in (256, 512):
+    for ck in (64, 128, 256):
         pack = pc.pack_shaded_tris_cluster(baked.tris, baked.data.materials, ck)
         aabbs = pc.pack_cluster_aabbs(baked.tris, ck)
         occ_pack = pc.pack_tris_cluster(baked.tris, ck)

@@ -86,6 +86,21 @@ def main():
         dt = timeit(run2, lambda: float(out[0][0]))
         print(f"hbm closest {tag:10s}: {dt:9.2f} ms/1M rays", flush=True)
 
+    # ck sweep for the closest kernel (coherent rays): smaller clusters
+    # mean finer culling granularity per tile
+    for ck in (64, 128):
+        pack_s = pc.pack_tris_cluster_hbm(baked.tris, ck)
+        aabbs_s = pc.pack_cluster_aabbs(baked.tris, ck)
+        f = jax.jit(lambda o, d, ck=ck, pack_s=pack_s, aabbs_s=aabbs_s:
+                    pc.intersect_closest_clusters_hbm(
+                        baked.tris, o, d, 1e-3, tri_pack=pack_s,
+                        aabbs=aabbs_s, ck=ck, interpret=False).t)
+        def run4(f=f):
+            out[0] = f(o_c, d_c)
+        dt = timeit(run4, lambda: float(out[0][0]))
+        print(f"hbm closest coherent ck={ck}: {dt:9.2f} ms/1M rays",
+              flush=True)
+
     h = jax.jit(lambda o, d: traverse.intersect_bvh(
         baked.data.bvh, baked.tris, o, d, 1e-3).t)
     def run3():

@@ -65,6 +65,32 @@ def main():
     )
     timeit("closest incoherent (bounce, 0.92M)", jit_closest_inc, origin2, rd)
 
+    # the shape the FRAME actually pays: bounce rays traced UNSORTED
+    # (passes/bdpt.shoot_ray uses the default coherent=True)
+    jit_closest_unsorted = jax.jit(
+        lambda o, d: trace(o, d, 1e-4, o, cull_backface=False, coherent=True)
+    )
+    timeit("closest bounce UNSORTED (0.92M)", jit_closest_unsorted,
+           origin2, rd)
+
+    # ck sweep on the shaded cluster tier (pink_room's production tier)
+    from fyp_bidirectionalpathtracer_tpu.accel import pallas_cluster as pc
+
+    for ck in (64, 128):
+        pack_s = pc.pack_shaded_tris_cluster(baked.tris, baked.data.materials,
+                                             ck)
+        aabbs_s = pc.pack_cluster_aabbs(baked.tris, ck)
+        jit_ck = jax.jit(
+            lambda o, d, ck=ck, pack_s=pack_s, aabbs_s=aabbs_s:
+            pc.intersect_shaded_clusters(
+                baked.tris, pack_s, aabbs_s, o, d, 1e-4, ck=ck,
+                interpret=False,
+            )[0].t
+        )
+        for tag, (oo, dd) in (("primary", (o, d)), ("bounce", (origin2, rd))):
+            timeit(f"shaded closest ck={ck} {tag} (0.92M)",
+                   lambda oo=oo, dd=dd, j=jit_ck: (j(oo, dd),))
+
     # shadow batch: 3 stacked wavefronts toward one point (the NEE shape)
     lp = jnp.asarray([0.0, 2.0, 0.0])
     sh_o = jnp.stack([sd.pos_w] * 3)

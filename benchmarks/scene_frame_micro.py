@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 
 def time_scene(name: str, width: int, height: int, depth: int,
-               warmup: int = 3, iters: int = 10) -> dict:
+               warmup: int = 3, iters: int = 10,
+               sort_bounces: bool = False) -> dict:
     from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
     from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
         BDPT_FRAME_INIT,
@@ -32,7 +33,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
     from fyp_bidirectionalpathtracer_tpu.utils.config import BDPTConfig, RenderConfig
 
     cfg = RenderConfig(width=width, height=height,
-                       bdpt=BDPTConfig(max_depth=depth))
+                       bdpt=BDPTConfig(max_depth=depth,
+                                       sort_bounces=sort_bounces))
     scene = load_scene(name)
     baked = scene.bake(max_lights=max(16, len(scene.lights)))
     fn = jax.jit(functools.partial(render_frame_fn, cfg=cfg))
@@ -56,7 +58,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
     dt = (time.perf_counter() - t0) / iters
     tris = int(baked.tris.v0.shape[0])
     return {"scene": name, "ms_per_frame": round(dt * 1e3, 2),
-            "tris": tris, "resolution": f"{width}x{height}", "depth": depth}
+            "tris": tris, "resolution": f"{width}x{height}", "depth": depth,
+            "sort_bounces": sort_bounces}
 
 
 def main():
@@ -64,10 +67,13 @@ def main():
     p.add_argument("scenes", nargs="*", default=["textured"])
     p.add_argument("--size", default="1280x720")
     p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--sort-bounces", action="store_true")
     args = p.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     for name in args.scenes or ["textured"]:
-        print(json.dumps(time_scene(name, w, h, args.depth)), flush=True)
+        print(json.dumps(time_scene(name, w, h, args.depth,
+                                    sort_bounces=args.sort_bounces)),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -33,9 +33,8 @@ def timeit(tag, fn, *args, n=8, warm=2, **kw):
 
 
 def main():
-    from fyp_bidirectionalpathtracer_tpu.models.procedural import (
-        textured_room,
-    )
+    import argparse
+
     from fyp_bidirectionalpathtracer_tpu.ops.shading import (
         make_shaded_tracer,
     )
@@ -50,23 +49,27 @@ def main():
     from fyp_bidirectionalpathtracer_tpu.passes.accumulate import AccumState
     from fyp_bidirectionalpathtracer_tpu.passes.bmfr import BMFRState
     from fyp_bidirectionalpathtracer_tpu.scene.scene import Scene
-    from fyp_bidirectionalpathtracer_tpu.scene.camera import camera_rays
+    from fyp_bidirectionalpathtracer_tpu.scene.camera import camera_ray_dirs
     from fyp_bidirectionalpathtracer_tpu.utils.config import (
         BDPTConfig,
         RenderConfig,
     )
 
+    p = argparse.ArgumentParser()
+    p.add_argument("scene", nargs="?", default="textured")
+    args = p.parse_args()
+
     W, H, D = 1280, 720, 3
-    scene = Scene.from_built(textured_room(), aspect=W / H)
-    baked = scene.bake()
-    print(f"textured: {int(baked.tris.v0.shape[0])} tris, "
+    from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
+
+    scene = load_scene(args.scene)
+    baked = scene.bake(max_lights=max(16, len(scene.lights)))
+    print(f"{args.scene}: {int(baked.tris.v0.shape[0])} tris, "
           f"atlas {tuple(baked.data.textures.data.shape)}", flush=True)
 
     cam = baked.data.camera
-    yy = (jnp.arange(H) + 0.5) / H
-    xx = (jnp.arange(W) + 0.5) / W
-    ndc = jnp.stack(jnp.meshgrid(xx, yy, indexing="xy"), -1).reshape(-1, 2)
-    o, d = camera_rays(cam, ndc)
+    d = camera_ray_dirs(cam, W, H, jnp.asarray([0.5, 0.5]))
+    o = jnp.broadcast_to(cam.pos_w, d.shape)
 
     trace = make_shaded_tracer(baked)
     jit_closest = jax.jit(
@@ -75,8 +78,7 @@ def main():
     )
     hit, sd = timeit("shaded closest (0.92M, x6/frame)", jit_closest, o, d)
 
-    from fyp_bidirectionalpathtracer_tpu.accel.traverse import intersect_fn
-    intersect = intersect_fn(baked)
+    intersect = baked.intersector()
     lp = jnp.asarray([0.0, 1.8, 0.0])
     sh_o = jnp.stack([sd.pos_w] * 3)
     to_l = lp - sh_o
@@ -91,8 +93,8 @@ def main():
 
     # texture taps alone: 6 vertex fetches of 0.92M
     atlas = baked.data.textures
-    slot = jnp.zeros((o.shape[0],), jnp.int32)
-    const = jnp.ones((o.shape[0], 4), jnp.float32)
+    slot = jnp.zeros(sd.uv.shape[:-1], jnp.int32)
+    const = jnp.ones(sd.uv.shape[:-1] + (4,), jnp.float32)
 
     def taps(uv):
         out = 0.0
@@ -104,8 +106,8 @@ def main():
 
     # full frames with estimators toggled
     def frame(cfg_kw, tag):
-        cfg = RenderConfig(width=W, height=H,
-                           bdpt=BDPTConfig(max_depth=D, **cfg_kw))
+        kw = {"max_depth": D, **cfg_kw}
+        cfg = RenderConfig(width=W, height=H, bdpt=BDPTConfig(**kw))
         fn = jax.jit(functools.partial(render_frame_fn, cfg=cfg))
         accum = AccumState.create(H, W)
         bmfr = BMFRState.create(H, W)

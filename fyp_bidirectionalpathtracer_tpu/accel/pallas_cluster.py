@@ -56,6 +56,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pick_ck(n_tris: int) -> int:
+    """VMEM-tier cluster stride: the smallest multiple of 8 (>= 64) that
+    keeps the cluster count <= 512.
+
+    Measured on v5e (benchmarks/pink_micro.py, pink_room 10.5k tris):
+    ck=64 gives 38.9 ms/1M coherent closest rays vs ~77 ms at ck=256 —
+    finer AABB culling granularity dominates the extra scalar cluster
+    branches; going the other way, ck=512 doubles closest time at 63k tris
+    (benchmarks/cluster_micro.py).  The cap at 512 clusters bounds the SMEM
+    AABB table (16 KB) and the per-cell visit-order row.  The HBM-paged
+    tier keeps CK=256: it is DMA-latency bound and smaller slices mean
+    proportionally more round-trips."""
+    return max(64, _round_up(-(-n_tris // 512), 8))
+
+
 # ------------------------------------------------------------------- host
 def pack_cluster_aabbs(tris: TriSoA, ck: int = CK):
     """[C, 8] f32 cluster AABB rows (minx,miny,minz,maxx,maxy,maxz,0,0) for

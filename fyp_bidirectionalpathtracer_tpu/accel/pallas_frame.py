@@ -18,9 +18,12 @@ Estimator-2 splats write (pixel-id, rgba) rows; the host-side wrapper
 scatter-adds them exactly like passes.bdpt (the reference's racy
 gOutput[id] RMW, BDPTMain.rt.hlsl:199, stays a deterministic scatter).
 
-Scope (static gating, `supports_megakernel`): untextured materials
-(path vertices use lod-0 constants, matching BDPTUtils.hlsli:6 — textured
-scenes fall back to the wavefront), 1x1 (constant) env probe, pinhole or
+Scope (static gating, `supports_megakernel`): untextured materials — a
+kernel limitation, NOT a reference behavior: simplePrepareShadingData
+(BDPTUtils.hlsli:2-53) samples base/spec/emissive textures at mip 0 at
+every path vertex, and per-lane texel gathers do not vectorize on the
+TPU, so textured scenes take the wavefront path whose XLA-side packed
+gathers do (ops/texture.py).  Also: 1x1 (constant) env probe, pinhole or
 thin-lens camera, uniform connection weighting, scene small enough for
 VMEM.
 

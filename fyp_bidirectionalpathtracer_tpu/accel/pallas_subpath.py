@@ -21,10 +21,10 @@ Layout: every per-ray field is an [8, 128] native VPU tile (1024 rays per
 grid cell), stored field-major as [F, N/128, 128] arrays.  Triangles loop as
 *scalars* broadcast against the ray tile — no [rays x tris] pair tile at all,
 so per-ray math (the sampler) runs at full lane utilization.  Suited to
-scenes of up to a few hundred triangles and *untextured* materials (path
-vertices never sample textures in the reference either — BDPTUtils.hlsli:6
-uses lod-0 constants only through the G-buffer; texture scenes fall back to
-the per-bounce kernels).
+scenes of up to a few hundred triangles and *untextured* materials (a
+kernel limitation — the reference samples textures at mip 0 at every path
+vertex, BDPTUtils.hlsli:2-53; texture scenes fall back to the per-bounce
+kernels whose XLA-side packed gathers vectorize).
 
 Per-triangle constants come from the Baldwin-Weber shaded pack
 (accel.pallas_shaded.pack_shaded_triangles) TRANSPOSED to [T_pad, 48]:

@@ -326,13 +326,14 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
         from . import pallas_cluster as pc
         from ..ops.raysort import make_permutation, ray_sort_keys, scene_bounds
 
-        aabbs = pc.pack_cluster_aabbs(tris)
+        ck = pc.CK if hbm_tier else pc.pick_ck(n_tris)
+        aabbs = pc.pack_cluster_aabbs(tris, ck)
         occ_pack = (
-            pc.pack_tris_cluster_hbm(tris) if hbm_tier
-            else pc.pack_tris_cluster(tris)
+            pc.pack_tris_cluster_hbm(tris, ck) if hbm_tier
+            else pc.pack_tris_cluster(tris, ck)
         )
         shaded_pack = (
-            pc.pack_shaded_tris_cluster(tris, materials)
+            pc.pack_shaded_tris_cluster(tris, materials, ck)
             if materials is not None and n_tris <= cluster_threshold
             else None
         )
@@ -372,7 +373,8 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                 if coherent:
                     occ = occluded_fn(
                         tris, origin, direction, t_min, t_max,
-                        tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
+                        tri_pack=occ_pack, aabbs=aabbs, ck=ck,
+                        interpret=interp,
                     )
                 else:
                     o, d, tn, tm, inv, shape = sort_wavefront(
@@ -380,7 +382,8 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     )
                     occ_s = occluded_fn(
                         tris, o, d, tn, tm,
-                        tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
+                        tri_pack=occ_pack, aabbs=aabbs, ck=ck,
+                        interpret=interp,
                     )
                     occ = occ_s[inv].reshape(shape)
                 zero = jnp.zeros(occ.shape, jnp.float32)
@@ -395,12 +398,12 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                 if shaded_pack is not None:
                     hit, _ = pc.intersect_shaded_clusters(
                         tris, shaded_pack, aabbs, o, d, tn,
-                        tm, cull_backface, interpret=interp,
+                        tm, cull_backface, ck=ck, interpret=interp,
                     )
                     return hit
                 return closest_lean_fn(
                     tris, o, d, tn, tm, cull_backface,
-                    tri_pack=occ_pack, aabbs=aabbs, interpret=interp,
+                    tri_pack=occ_pack, aabbs=aabbs, ck=ck, interpret=interp,
                 )
 
             if coherent:

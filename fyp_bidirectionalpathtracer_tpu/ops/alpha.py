@@ -59,6 +59,13 @@ def _push_tmin(hit, t_min):
     return hit.t * (1.0 + 1e-4) + 1e-4
 
 
+_INERT = 1e30  # restart t_min for lanes that passed: the empty interval
+# [1e30, t_max) overlaps no cluster AABB, so the Pallas cluster tiers cull
+# the lane at the slab stage and a mostly-passed restart wavefront costs
+# ~the AABB tests alone (measured: pink_room closest 121 -> ~50 ms/1M with
+# 4 restarts; the result of an inert lane is discarded by the fail-select)
+
+
 def wrap_intersector(baked, intersect, max_restarts: int = 4):
     """Alpha-aware intersect(origin, dir, t_min, t_max, closest,
     cull_backface) with the same signature.
@@ -79,7 +86,7 @@ def wrap_intersector(baked, intersect, max_restarts: int = 4):
                         coherent=coherent)
         for _ in range(max_restarts):
             fail = _alpha_fails(tris, materials, atlas, hit, origin, direction)
-            tmin = jnp.where(fail, _push_tmin(hit, tmin), tmin)
+            tmin = jnp.where(fail, _push_tmin(hit, tmin), _INERT)
             hit2 = intersect(
                 origin, direction, tmin, t_max, True, cull_backface,
                 coherent=coherent,
@@ -119,7 +126,7 @@ def wrap_tracer(baked, trace, max_restarts: int = 4):
                         coherent=coherent)
         for _ in range(max_restarts):
             fail = fails(hit, sd)
-            tmin = jnp.where(fail, _push_tmin(hit, tmin), tmin)
+            tmin = jnp.where(fail, _push_tmin(hit, tmin), _INERT)
             hit2, sd2 = trace(
                 origin, direction, tmin, view_origin, cull_backface,
                 coherent=coherent,

@@ -307,12 +307,14 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
             intersect_shaded_clusters,
             pack_cluster_aabbs,
             pack_shaded_tris_cluster,
+            pick_ck,
         )
         from ..accel.traverse import HitRecord as _HitRecord
         from .raysort import make_permutation, ray_sort_keys, scene_bounds
 
-        pack = pack_shaded_tris_cluster(baked.tris, baked.data.materials)
-        aabbs = pack_cluster_aabbs(baked.tris)
+        ck = pick_ck(n_tris)
+        pack = pack_shaded_tris_cluster(baked.tris, baked.data.materials, ck)
+        aabbs = pack_cluster_aabbs(baked.tris, ck)
 
         def trace(origin, direction, t_min, view_origin, cull_backface=False,
                   coherent=True):
@@ -330,7 +332,7 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
                 od = jnp.concatenate([o, d, tmin_flat], -1)[perm]
                 _, fields_s = intersect_shaded_clusters(
                     baked.tris, pack, aabbs, od[:, :3], od[:, 3:6], od[:, 6],
-                    cull_backface=cull_backface, interpret=False,
+                    cull_backface=cull_backface, ck=ck, interpret=False,
                 )
                 fields = fields_s[inv].reshape(shape + (OUT_W,))
                 tri = fields[..., 1].astype(jnp.int32)
@@ -342,7 +344,7 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
             else:
                 hit, fields = intersect_shaded_clusters(
                     baked.tris, pack, aabbs, origin, direction, t_min,
-                    cull_backface=cull_backface, interpret=False,
+                    cull_backface=cull_backface, ck=ck, interpret=False,
                 )
             sd = shading_from_fields(
                 fields, baked.data.textures, hit, origin, direction, view_origin

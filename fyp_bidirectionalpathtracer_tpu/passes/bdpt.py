@@ -116,18 +116,21 @@ def _nan_guard(c):
     return jnp.where(bad, 0.0, c)
 
 
-def shoot_ray(payload: Payload, trace, cfg: BDPTConfig) -> Payload:
+def shoot_ray(payload: Payload, trace, cfg: BDPTConfig,
+              coherent: bool = True) -> Payload:
     """One extension step for active lanes (globalIlluminationRay.hlsli).
 
     miss -> color=0, terminated=True, geometry kept stale (reference quirk);
     hit  -> shading data + sampleBRDF + updateRayData.
+
+    `coherent=False` Morton-sorts the wavefront before the cluster-tier
+    trace (cfg.sort_bounces routes bounce steps here; primaries stay in
+    pixel order).
     """
     active = ~payload.terminated
-    # NOTE: bounce wavefronts stay in pixel order (origins already
-    # coherent); Morton sorting (coherent=False) measured no gain for them
-    # — see ops.raysort and benchmarks/cluster_micro.py
     hit, sd = trace(
-        payload.ray_origin, payload.ray_dir, cfg.min_t, payload.ray_origin
+        payload.ray_origin, payload.ray_dir, cfg.min_t, payload.ray_origin,
+        coherent=coherent,
     )
     seed2, weight, l, pdf, is_spec = mat.sample_brdf(
         payload.seed, sd.n, sd.n, sd.v, sd.diffuse, sd.specular, sd.roughness,
@@ -335,7 +338,8 @@ def bdpt_pass(
     payload = payload.replace(terminated=~valid)  # background lanes inert
     for depth in range(1, d_max):
         was_active = ~payload.terminated
-        payload = shoot_ray(payload, trace, cfg)
+        payload = shoot_ray(payload, trace, cfg,
+                            coherent=not cfg.sort_bounces)
         camera_path[depth + 1] = payload.vertex().where(was_active, zeros_vert)
     seed = payload.seed
 
@@ -351,7 +355,8 @@ def bdpt_pass(
     lpayload = lpayload.replace(terminated=~valid)
     for depth in range(0, d_max):
         was_active = ~lpayload.terminated
-        lpayload = shoot_ray(lpayload, trace, cfg)
+        lpayload = shoot_ray(lpayload, trace, cfg,
+                             coherent=not cfg.sort_bounces)
         light_path[depth + 1] = lpayload.vertex().where(was_active, zeros_vert)
         take[depth + 1] = jnp.where(was_active, ~lpayload.terminated, take[depth + 1])
     seed = lpayload.seed

@@ -47,6 +47,12 @@ class BDPTConfig:
     # weights), 'on' forces it (interpret mode off-TPU; tests), 'off' always
     # uses the per-bounce wavefront.
     megakernel: str = "auto"
+    # Morton-sort bounce wavefronts before the cluster-tier closest trace
+    # (ops.raysort): BRDF-sampled extension rays have coherent origins but
+    # scattered directions, which defeats the [8,128]-tile AABB culling of
+    # accel.pallas_cluster.  No effect on dense/jnp tiers (order-
+    # insensitive) or on the image (the permutation is inverted).
+    sort_bounces: bool = False
 
 
 @dataclass(frozen=True)
