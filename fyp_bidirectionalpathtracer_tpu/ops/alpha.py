@@ -45,12 +45,9 @@ def _alpha_fails(tris, materials, atlas, hit, origin, direction):
 
     _, _, uv, mat_id = interpolate_hit(tris, hit, origin, direction)
     m = jnp.maximum(mat_id, 0)
-    from .texture import sample_or_constant
+    from .texture import sample_base_color
 
-    base = sample_or_constant(
-        atlas, materials.base_color_tex[m], uv, materials.base_color[m],
-        static_used=atlas.any_base,
-    )
+    base = sample_base_color(atlas, materials, m, uv)
     return hit.hit & (base[..., 3] < materials.alpha_threshold[m])
 
 
@@ -109,12 +106,9 @@ def wrap_tracer(baked, trace, max_restarts: int = 4):
 
     def fails(hit, sd):
         m = jnp.maximum(sd.material_id, 0)
-        from .texture import sample_or_constant
+        from .texture import sample_base_color
 
-        base = sample_or_constant(
-            atlas, materials.base_color_tex[m], sd.uv,
-            materials.base_color[m], static_used=atlas.any_base,
-        )
+        base = sample_base_color(atlas, materials, m, sd.uv)
         return hit.hit & (base[..., 3] < materials.alpha_threshold[m])
 
     def trace_alpha(origin, direction, t_min, view_origin,

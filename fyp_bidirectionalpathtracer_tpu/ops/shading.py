@@ -16,7 +16,37 @@ from flax import struct
 from ..accel.traverse import HitRecord, TriSoA
 from ..core.vecmath import dot, normalize
 from ..scene.types import MaterialArray, SHADING_METAL_ROUGH, TextureAtlas
-from .texture import sample_or_constant
+from .texture import sample_combined, sample_or_constant
+
+
+def _tap_kinds(atlas, mat_id, bc_tex, sp_tex, em_tex, uv,
+               base_const, spec_const, em_rgb):
+    """(base[...,4], spec[...,4], emissive[...,3]) with constant fallbacks.
+
+    One combined-table gather when the atlas carries it (see
+    TextureAtlas.combined — HBM gathers cost ~23 ms/1M indices each on
+    v5e whatever the table looks like, so one tap beats three); otherwise
+    the per-kind packed/bilinear taps."""
+    if atlas.combined is not None and (
+        atlas.any_base or atlas.any_spec or atlas.any_emissive
+    ):
+        base_t, spec_t, em_t = sample_combined(atlas, mat_id, uv)
+        base = (jnp.where((bc_tex >= 0)[..., None], base_t, base_const)
+                if atlas.any_base else base_const)
+        spec = (jnp.where((sp_tex >= 0)[..., None], spec_t, spec_const)
+                if atlas.any_spec else spec_const)
+        emissive = (jnp.where((em_tex >= 0)[..., None], em_t[..., :3], em_rgb)
+                    if atlas.any_emissive else em_rgb)
+        return base, spec, emissive
+    base = sample_or_constant(atlas, bc_tex, uv, base_const,
+                              static_used=atlas.any_base)
+    spec = sample_or_constant(atlas, sp_tex, uv, spec_const,
+                              static_used=atlas.any_spec)
+    em_const = jnp.concatenate(
+        [em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], -1)
+    emissive = sample_or_constant(atlas, em_tex, uv, em_const,
+                                  static_used=atlas.any_emissive)[..., :3]
+    return base, spec, emissive
 
 
 @struct.dataclass
@@ -87,10 +117,9 @@ def shading_from_fields(fields, atlas: TextureAtlas, hit: HitRecord,
     em_tex = fields[..., 25].astype(jnp.int32)
     mat_id = fields[..., 26].astype(jnp.int32)
 
-    base = sample_or_constant(atlas, bc_tex, uv, base_const,
-                              static_used=atlas.any_base)
-    spec = sample_or_constant(atlas, sp_tex, uv, spec_const,
-                              static_used=atlas.any_spec)
+    base, spec, emissive = _tap_kinds(
+        atlas, mat_id, bc_tex, sp_tex, em_tex, uv,
+        base_const, spec_const, em_rgb)
     opacity = base_const[..., 3]
 
     metal = spec[..., 2:3]
@@ -105,10 +134,6 @@ def shading_from_fields(fields, atlas: TextureAtlas, hit: HitRecord,
     specular = jnp.where(mr, spec_mr, spec_sg)
     linear_rough = jnp.maximum(0.08, jnp.where(metal_rough, lr_mr, lr_sg))
     rough = linear_rough * linear_rough
-
-    em_const = jnp.concatenate([em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], -1)
-    emissive = sample_or_constant(atlas, em_tex, uv, em_const,
-                                  static_used=atlas.any_emissive)[..., :3]
 
     v = normalize(view_origin - pos)
     n_dot_v = dot(n, v)
@@ -161,11 +186,10 @@ def prepare_shading_data(
     sp_tex = mrow[..., 15].astype(jnp.int32)
     em_tex = mrow[..., 16].astype(jnp.int32)
 
-    base = sample_or_constant(atlas, bc_tex, uv, base_const,
-                              static_used=atlas.any_base)
+    base, spec, emissive = _tap_kinds(
+        atlas, m, bc_tex, sp_tex, em_tex, uv,
+        base_const, spec_const, em_rgb)
     opacity = base_const[..., 3]  # sd.opacity = m.baseColor.a (BDPTUtils:10)
-    spec = sample_or_constant(atlas, sp_tex, uv, spec_const,
-                              static_used=atlas.any_spec)
 
     metal_rough = mrow[..., 12] == SHADING_METAL_ROUGH
     # metal-rough: diffuse = lerp(base, 0, metalness=spec.b),
@@ -185,12 +209,6 @@ def prepare_shading_data(
     linear_rough = jnp.where(metal_rough, lr_mr, lr_sg)
     linear_rough = jnp.maximum(0.08, linear_rough)
     rough = linear_rough * linear_rough
-
-    em_const = jnp.concatenate(
-        [em_rgb, jnp.ones(em_rgb.shape[:-1] + (1,))], axis=-1
-    )
-    emissive = sample_or_constant(atlas, em_tex, uv, em_const,
-                                  static_used=atlas.any_emissive)[..., :3]
 
     v = normalize(camera_pos - pos)
     n_dot_v = dot(n, v)

@@ -71,6 +71,57 @@ def sample_atlas_bilinear_packed(packed, slot, uv):
     return top * (1 - fy) + bot * fy
 
 
+def _u32_rgba(u):
+    """Unpack a little-endian u32 into [...,4] f32 rgba in [0,1]."""
+    return jnp.stack(
+        [((u >> s) & jnp.uint32(0xFF)).astype(jnp.float32)
+         for s in (0, 8, 16, 24)], -1,
+    ) * (1.0 / 255.0)
+
+
+def sample_combined(atlas, mat_id, uv):
+    """(base, spec, emissive) [...,4] from ONE gather of the combined
+    material texel table (TextureAtlas.combined: [M*R*R, 12] u32 — the 2x2
+    wrap neighborhoods of all three kinds, u8 per channel).
+
+    One 48 B-row gather replaces three 64 B-row gathers: on v5e a 1M-index
+    gather from any real multi-MB HBM table costs ~22-24 ms (per-index
+    latency; table size, row width <=64 B and index locality are all
+    irrelevant — benchmarks/shade_micro.py), so tap COUNT is the only
+    lever: base+spec+emissive collapse from ~66 ms to ~35 ms per bounce on
+    pink_room.  Callers still select the constant factors for slot<0
+    materials (those rows hold zeros).
+    """
+    comb = atlas.combined
+    res = atlas.resolution
+    m = jnp.maximum(mat_id, 0)
+    x0i, y0i, fx, fy = _uv_to_texels(uv, res)
+    row = comb[(m * res + y0i) * res + x0i]  # [..., 12] u32
+    out = []
+    for k in range(3):
+        c00 = _u32_rgba(row[..., 4 * k + 0])
+        c10 = _u32_rgba(row[..., 4 * k + 1])
+        c01 = _u32_rgba(row[..., 4 * k + 2])
+        c11 = _u32_rgba(row[..., 4 * k + 3])
+        top = c00 * (1 - fx) + c10 * fx
+        bot = c01 * (1 - fx) + c11 * fx
+        out.append(top * (1 - fy) + bot * fy)
+    return out[0], out[1], out[2]
+
+
+def sample_base_color(atlas, materials, mat_id, uv):
+    """Base-color tap for a material id (combined table when available) —
+    the alpha test's single needed kind (ops.alpha)."""
+    m = jnp.maximum(mat_id, 0)
+    const = materials.base_color[m]
+    if atlas.combined is not None and atlas.any_base:
+        base_t, _, _ = sample_combined(atlas, m, uv)
+        return jnp.where(
+            (materials.base_color_tex[m] >= 0)[..., None], base_t, const)
+    return sample_or_constant(atlas, materials.base_color_tex[m], uv, const,
+                              static_used=atlas.any_base)
+
+
 def sample_or_constant(atlas, slot, uv, constant, static_used: bool = True):
     """Texture if slot >= 0 else the constant factor ([...,4] both ways).
 

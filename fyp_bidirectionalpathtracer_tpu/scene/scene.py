@@ -221,10 +221,47 @@ class Scene:
             rx = np.roll(data, -1, axis=2)
             ry = np.roll(data, -1, axis=1)
             rxy = np.roll(rx, -1, axis=1)
+
+            # combined per-MATERIAL texel table (see TextureAtlas.combined):
+            # u8-quantized 2x2 neighborhoods of base|spec|emissive, one u32
+            # column per packed rgba corner -> [M*R*R, 12] u32 (48 B rows)
+            r = data.shape[1]
+            combined = None
+            n_kinds = (int((bc_tex >= 0).any()) + int((sp_tex >= 0).any())
+                       + int((em_tex >= 0).any()))
+            # one combined 48 B gather (~23 ms/1M) only beats the per-kind
+            # packed taps (~8-22 ms each) when >=2 kinds are textured;
+            # base-only scenes keep the single packed tap
+            if n_kinds >= 2 and m_count * r * r * 48 <= 768 * 1024 * 1024:
+                q = np.clip(np.rint(data * 255.0), 0, 255).astype(np.uint8)
+                qp = np.concatenate(
+                    [q, np.roll(q, -1, 2), np.roll(q, -1, 1),
+                     np.roll(np.roll(q, -1, 2), -1, 1)], -1)  # [T,R,R,16]
+                kinds = []
+                for slots in (bc_tex, sp_tex, em_tex):
+                    rows = qp[np.clip(slots, 0, len(images) - 1)]
+                    rows[slots < 0] = 0  # constant fallback selects these away
+                    kinds.append(rows)
+                comb = np.concatenate(kinds, -1)  # [M,R,R,48] u8
+                combined = jnp.asarray(
+                    np.ascontiguousarray(
+                        comb.reshape(m_count * r * r, 48)
+                    ).view(np.uint32)
+                )
+
+            # the per-TEXTURE packed table is only needed by lookups the
+            # combined table does not serve (normal maps); skip the
+            # 4x-data-size allocation otherwise
+            packed = (
+                jnp.asarray(np.concatenate([data, rx, ry, rxy], -1))
+                if bool((nm_tex >= 0).any()) or combined is None
+                else None
+            )
             atlas = TextureAtlas(
                 data=jnp.asarray(data),
                 sizes=jnp.asarray(np.asarray(sizes, np.int32)),
-                packed=jnp.asarray(np.concatenate([data, rx, ry, rxy], -1)),
+                packed=packed,
+                combined=combined,
                 any_base=bool((bc_tex >= 0).any()),
                 any_spec=bool((sp_tex >= 0).any()),
                 any_emissive=bool((em_tex >= 0).any()),

@@ -101,6 +101,17 @@ class TextureAtlas:
     # is ONE 16-column (64 B row) gather — the TPU gather sweet spot —
     # instead of four 4-column gathers (see ops.texture, CLAUDE.md).
     packed: jnp.ndarray | None = None
+    # [M*R*R, 12] uint32 MATERIAL-indexed combined texel table: the 2x2
+    # wrap neighborhoods of ALL THREE texture kinds (base/spec/emissive) at
+    # one texel, u8-packed 4 bytes per u32 (48 B rows).  Measured on v5e
+    # (pink_room atlas), a 1M-index gather from a real multi-MB HBM table
+    # costs ~22-24 ms REGARDLESS of table size, row width (<=64 B) or index
+    # locality — the cost is per-index latency — so the lever is gather
+    # COUNT: one combined tap replaces three per-kind taps (66 -> ~35 ms
+    # incl. unpack; ops.texture.sample_combined, benchmarks/shade_micro.py).
+    # Texels quantize to u8 (they are u8-sourced; resampling drift
+    # <=1/510), constants stay exact via the slot<0 fallback.
+    combined: jnp.ndarray | None = None
     # static per-kind usage flags (bake-time facts): when NO material has
     # e.g. a specular map, the per-bounce specular gather is skipped
     # entirely (ops.texture.sample_or_constant static_used).  Default True
