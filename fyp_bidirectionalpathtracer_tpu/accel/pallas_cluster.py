@@ -170,6 +170,10 @@ def _slab_tiles(aabb_ref, c, o, inv_d, tmin, tmax):
 
 
 G = 8  # clusters per culling group (one scalar branch per group)
+# G=16 measured WORSE across the board on pink_room at ck=64 (primary
+# 38.9->42.0, bounce 117->125, any-hit 3-stack 77.5->88.2 ms/1M, v5e):
+# beyond G=8 the extra always-executed slab work outweighs the halved
+# group branches.
 
 
 def _group_overlaps(order_ref, aabb_ref, g, o, inv_d, tmin, tmax, n_clusters):
