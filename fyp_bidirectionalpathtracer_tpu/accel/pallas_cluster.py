@@ -203,6 +203,11 @@ def _group_overlaps(order_ref, aabb_ref, g, o, inv_d, tmin, tmax, n_clusters):
 def _pair_test_block(blk, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface):
     """[ck, 128] Baldwin-Weber test of one loaded triangle block against one
     lane-row of rays (value-typed twin of pallas_lane._pair_test)."""
+    from .pallas_lane import MXU_PAIR, _bw_pair_mxu
+
+    if MXU_PAIR:
+        return _bw_pair_mxu(blk[:, 0:16], (ox, oy, oz), (dx, dy, dz),
+                            tmin, tmax, cull_backface)
     col = lambda k: blk[:, k:k + 1]  # noqa: E731
     nx, ny, nz, nv0 = col(0), col(1), col(2), col(3)
     ndir = nx * dx + ny * dy + nz * dz

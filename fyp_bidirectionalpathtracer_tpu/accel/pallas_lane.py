@@ -111,8 +111,78 @@ def rays_to_rows(origin, direction, t_min, t_max, shape):
     return rows, n, n_cols
 
 
+# Compute the six Baldwin-Weber dot products on the MXU instead of the VPU:
+# ONE [T,16] @ [16, 6*128] f32 matmul (the -v0 constant terms fold in as -1
+# rhs rows) would leave ~14 VPU ops of the ~30 per [T,128] tile.
+# MEASURED ON v5e: a 2x REGRESSION across every tier (Cornell bench 534 ->
+# 290 Mrays/s, textured frame 162 -> 339 ms, pink cluster primary 39 -> 68,
+# bounce 117 -> 253 ms/1M) — K=16 matmuls at Precision.HIGHEST (6 MXU
+# passes) with T<=256 sublane blocks never amortize the systolic fill, and
+# the rhs rebuild per lane-row adds vector traffic.  Kept OFF; retained
+# because the shape of the attempt matters for future revisits (a bf16
+# split or a [T>=1024] restructure might change the verdict).
+MXU_PAIR = False
+
+
+def _bw_pair_mxu(pack16, o, d, tmin, tmax, cull_backface):
+    """Baldwin-Weber test of a [T, >=16] pack block against one lane-row.
+
+    pack16: [T, >=16] value (cols 0:3 n/nv0, 4:7 r1/r1v0, 8:11 r2/r2v0);
+    o, d: ([1,128],)*3 ray tiles.  Returns (valid [T,128], t [T,128])."""
+    zero = jnp.zeros((1, LANE), jnp.float32)
+    neg1 = jnp.full((1, LANE), -1.0, jnp.float32)
+
+    def rows_o(base):  # rows base..base+2 = origin, base+3 = -1 (the -v0)
+        rows = [zero] * 16
+        rows[base] = o[0]
+        rows[base + 1] = o[1]
+        rows[base + 2] = o[2]
+        rows[base + 3] = neg1
+        return rows
+
+    def rows_d(base):
+        rows = [zero] * 16
+        rows[base] = d[0]
+        rows[base + 1] = d[1]
+        rows[base + 2] = d[2]
+        return rows
+
+    rhs = jnp.concatenate(
+        [jnp.concatenate(blk, axis=0)
+         for blk in (rows_o(0), rows_d(0), rows_o(4), rows_d(4),
+                     rows_o(8), rows_d(8))],
+        axis=1,
+    )  # [16, 768]
+    out = jax.lax.dot_general(
+        pack16[:, 0:16], rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [T, 768]
+    no_ = out[:, 0 * LANE:1 * LANE]    # n.o - nv0
+    nd = out[:, 1 * LANE:2 * LANE]     # n.d
+    r1o = out[:, 2 * LANE:3 * LANE]    # r1.o - r1v0
+    r1d = out[:, 3 * LANE:4 * LANE]
+    r2o = out[:, 4 * LANE:5 * LANE]
+    r2d = out[:, 5 * LANE:6 * LANE]
+    if cull_backface:
+        dir_ok = nd < -1e-9
+    else:
+        dir_ok = jnp.abs(nd) > 1e-9
+    t = -no_ / jnp.where(dir_ok, nd, 1.0)
+    u = r1o + t * r1d
+    v = r2o + t * r2d
+    valid = (
+        dir_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > tmin) & (t < tmax)
+    )
+    return valid, t
+
+
 def _pair_test(tri_ref, sl, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface):
     """[T_chunk, 128] Baldwin-Weber test for one lane-row of rays."""
+    if MXU_PAIR:
+        return _bw_pair_mxu(tri_ref[sl, 0:16], (ox, oy, oz), (dx, dy, dz),
+                            tmin, tmax, cull_backface)
     col = lambda k: tri_ref[sl, k:k + 1]  # noqa: E731  [T_chunk, 1]
     nx, ny, nz, nv0 = col(0), col(1), col(2), col(3)
     ndir = nx * dx + ny * dy + nz * dz
