@@ -398,3 +398,36 @@ def intersect_shaded_lanes(
         bary_v=fields[..., 3],
     )
     return hit, fields
+
+
+def intersect_shaded_lanes_fm(
+    tris: TriSoA,
+    tri_pack,
+    origin,
+    direction,
+    t_min,
+    t_max=None,
+    cull_backface: bool = False,
+    interpret: bool | None = None,
+):
+    """Field-major variant: (HitRecord, fields_fm [OUT_W, ...shape]) without
+    the [N, OUT_W] transpose; decode with shading_from_fields_fm."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = origin.shape[:-1]
+    rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
+    bounds = chunk_bounds(tri_pack.shape[0])
+    out = _launch_shaded(
+        rows, tri_pack, bounds, int(tris.v0.shape[0]), cull_backface, interpret
+    )
+    flat = out.reshape(OUT_W, -1)[:, :n]
+    fields_fm = flat.reshape((OUT_W,) + shape)
+    tri = fields_fm[1].astype(jnp.int32)
+    miss = tri < 0
+    hit = HitRecord(
+        t=jnp.where(miss, _BIG, fields_fm[0]),
+        tri=tri,
+        bary_u=fields_fm[2],
+        bary_v=fields_fm[3],
+    )
+    return hit, fields_fm

@@ -103,19 +103,43 @@ def shading_from_fields(fields, atlas: TextureAtlas, hit: HitRecord,
     """ShadingData from the fused kernel's field table
     (accel.pallas_shaded layout) — same decode as prepare_shading_data but
     with zero HBM gathers (textures excepted)."""
+    return _decode_fields(
+        lambda lo, hi: fields[..., lo:hi] if hi > lo + 1 else fields[..., lo],
+        atlas, hit, ray_origin, ray_dir, view_origin)
+
+
+def shading_from_fields_fm(fields_fm, atlas: TextureAtlas, hit: HitRecord,
+                           ray_origin, ray_dir, view_origin) -> ShadingData:
+    """Field-major decode: `fields_fm` is [OUT_W, ...] straight from the
+    kernel's field-major output, skipping the [N, OUT_W] transpose the
+    row-major path pays (~15 ms per 1M rays on v5e).  Only the vector
+    channels actually consumed get re-laid out (moveaxis fuses into the
+    consumers); scalar channels are contiguous row slices."""
+    def pick(lo, hi):
+        if hi > lo + 1:
+            return jnp.moveaxis(fields_fm[lo:hi], 0, -1)
+        return fields_fm[lo]
+
+    return _decode_fields(pick, atlas, hit, ray_origin, ray_dir, view_origin)
+
+
+def _decode_fields(pick, atlas: TextureAtlas, hit: HitRecord,
+                   ray_origin, ray_dir, view_origin) -> ShadingData:
+    """Shared field-table decode; `pick(lo, hi)` returns columns [lo, hi)
+    with the field axis last (scalar for hi == lo+1)."""
     pos = ray_origin + hit.t[..., None] * ray_dir
-    n = normalize(fields[..., 4:7])
-    uv = fields[..., 7:9]
-    base_const = fields[..., 9:13]
-    spec_const = fields[..., 13:17]
-    em_rgb = fields[..., 17:20]
-    ior = fields[..., 20]
-    metal_rough = fields[..., 21] == SHADING_METAL_ROUGH
-    double_sided = fields[..., 22] > 0.5
-    bc_tex = fields[..., 23].astype(jnp.int32)
-    sp_tex = fields[..., 24].astype(jnp.int32)
-    em_tex = fields[..., 25].astype(jnp.int32)
-    mat_id = fields[..., 26].astype(jnp.int32)
+    n = normalize(pick(4, 7))
+    uv = pick(7, 9)
+    base_const = pick(9, 13)
+    spec_const = pick(13, 17)
+    em_rgb = pick(17, 20)
+    ior = pick(20, 21)
+    metal_rough = pick(21, 22) == SHADING_METAL_ROUGH
+    double_sided = pick(22, 23) > 0.5
+    bc_tex = pick(23, 24).astype(jnp.int32)
+    sp_tex = pick(24, 25).astype(jnp.int32)
+    em_tex = pick(25, 26).astype(jnp.int32)
+    mat_id = pick(26, 27).astype(jnp.int32)
 
     base, spec, emissive = _tap_kinds(
         atlas, mat_id, bc_tex, sp_tex, em_tex, uv,
@@ -284,15 +308,31 @@ def apply_normal_mapping(baked, hit: HitRecord, sd: ShadingData) -> ShadingData:
     return sd.replace(n=n_out, n_dot_v=jnp.where(use, dot(n_out, sd.v), sd.n_dot_v))
 
 
-def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | None = None):
-    """Build a `trace(origin, dir, t_min, view_origin, cull_backface) ->
-    (HitRecord, ShadingData)` closure.
+# Divergent (bounce) wavefronts up to this many triangles brute-force the
+# dense lane kernel instead of the cluster tier: divergent 1024-ray tiles
+# overlap nearly every cluster, so AABB culling pays slab+branch overhead
+# without skipping work (117 ms/1M at 10.5k tris vs the dense pair-test
+# bound; benchmarks/dense_pink_micro.py).  0 disables the route.
+DENSE_DIVERGENT_MAX = 0
+
+
+def make_shaded_tracer(baked, brute_threshold: int = 2048,
+                       force_fused: bool | None = None,
+                       sort_divergent: bool = False):
+    """Build a `trace(origin, dir, t_min, view_origin, cull_backface,
+    coherent) -> (HitRecord, ShadingData)` closure.
 
     On TPU with an on-chip-sized scene it uses the fused Pallas
     intersection+closest-hit kernel (accel.pallas_shaded) — zero attribute
     gathers per bounce; otherwise it composes intersect +
     prepare_shading_data.  `force_fused` overrides the backend check (used by
     tests to run the fused path in interpreter mode on CPU).
+
+    `coherent=False` marks a divergent wavefront (BRDF-sampled bounce /
+    light-subpath extensions).  Routing for those, cluster tier only:
+    Morton-sort + cluster when `sort_divergent` (cfg.bdpt.sort_bounces),
+    dense lanes when the scene is under DENSE_DIVERGENT_MAX, else the plain
+    cluster kernels in ray order.
     """
     from ..accel.pallas_shaded import intersect_shaded, pack_shaded_triangles
 
@@ -323,6 +363,7 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
         from ..accel.pallas_cluster import (
             OUT_W,
             intersect_shaded_clusters,
+            intersect_shaded_clusters_fm,
             pack_cluster_aabbs,
             pack_shaded_tris_cluster,
             pick_ck,
@@ -334,9 +375,28 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
         pack = pack_shaded_tris_cluster(baked.tris, baked.data.materials, ck)
         aabbs = pack_cluster_aabbs(baked.tris, ck)
 
+        dense_divergent = n_tris <= DENSE_DIVERGENT_MAX
+        if dense_divergent:
+            from ..accel.pallas_lane import (
+                intersect_shaded_lanes_fm,
+                pack_shaded_tris_lane,
+            )
+
+            lane_pack = pack_shaded_tris_lane(baked.tris, baked.data.materials)
+
         def trace(origin, direction, t_min, view_origin, cull_backface=False,
                   coherent=True):
-            if not coherent:
+            if not coherent and dense_divergent and not sort_divergent:
+                hit, fields_fm = intersect_shaded_lanes_fm(
+                    baked.tris, lane_pack, origin, direction, t_min,
+                    cull_backface=cull_backface, interpret=False,
+                )
+                sd = shading_from_fields_fm(
+                    fields_fm, baked.data.textures, hit, origin, direction,
+                    view_origin
+                )
+                return hit, sd
+            if not coherent and sort_divergent:
                 # Morton-sort the wavefront so cluster AABB culling sees
                 # coherent tiles (ops.raysort); ONE packed gather each way
                 shape = origin.shape[:-1]
@@ -359,13 +419,18 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
                     t=jnp.where(miss, jnp.float32(1e30), fields[..., 0]),
                     tri=tri, bary_u=fields[..., 2], bary_v=fields[..., 3],
                 )
-            else:
-                hit, fields = intersect_shaded_clusters(
-                    baked.tris, pack, aabbs, origin, direction, t_min,
-                    cull_backface=cull_backface, ck=ck, interpret=False,
+                sd = shading_from_fields(
+                    fields, baked.data.textures, hit, origin, direction,
+                    view_origin
                 )
-            sd = shading_from_fields(
-                fields, baked.data.textures, hit, origin, direction, view_origin
+                return hit, sd
+            hit, fields_fm = intersect_shaded_clusters_fm(
+                baked.tris, pack, aabbs, origin, direction, t_min,
+                cull_backface=cull_backface, ck=ck, interpret=False,
+            )
+            sd = shading_from_fields_fm(
+                fields_fm, baked.data.textures, hit, origin, direction,
+                view_origin
             )
             return hit, sd
 
@@ -373,19 +438,23 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
 
     if use_fused:
         if on_tpu:
-            from ..accel.pallas_lane import intersect_shaded_lanes, pack_shaded_tris_lane
+            from ..accel.pallas_lane import (
+                intersect_shaded_lanes_fm,
+                pack_shaded_tris_lane,
+            )
 
             pack = pack_shaded_tris_lane(baked.tris, baked.data.materials)
 
             def trace(origin, direction, t_min, view_origin,
                       cull_backface=False, coherent=True):
                 del coherent  # dense kernels are insensitive to ray order
-                hit, fields = intersect_shaded_lanes(
+                hit, fields_fm = intersect_shaded_lanes_fm(
                     baked.tris, pack, origin, direction, t_min,
                     cull_backface=cull_backface, interpret=False,
                 )
-                sd = shading_from_fields(
-                    fields, baked.data.textures, hit, origin, direction, view_origin
+                sd = shading_from_fields_fm(
+                    fields_fm, baked.data.textures, hit, origin, direction,
+                    view_origin
                 )
                 return hit, sd
 
@@ -409,9 +478,12 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048, force_fused: bool | N
 
     def trace(origin, direction, t_min, view_origin, cull_backface=False,
               coherent=True):
+        # intersect's coherent=False means "Morton-sort the wavefront";
+        # only divergence-sorting configs opt in (sort_divergent).
         hit = intersect(
             origin, direction, t_min, closest=True,
-            cull_backface=cull_backface, coherent=coherent,
+            cull_backface=cull_backface,
+            coherent=coherent if sort_divergent else True,
         )
         sd = prepare_shading_data(
             baked.tris, baked.data.materials, baked.data.textures,

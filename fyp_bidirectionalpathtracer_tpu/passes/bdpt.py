@@ -123,9 +123,10 @@ def shoot_ray(payload: Payload, trace, cfg: BDPTConfig,
     miss -> color=0, terminated=True, geometry kept stale (reference quirk);
     hit  -> shading data + sampleBRDF + updateRayData.
 
-    `coherent=False` Morton-sorts the wavefront before the cluster-tier
-    trace (cfg.sort_bounces routes bounce steps here; primaries stay in
-    pixel order).
+    Extension wavefronts are always divergent (BRDF-sampled directions), so
+    callers pass coherent=False; the tracer decides what to do with that
+    (ops.shading.make_shaded_tracer: Morton sort, dense lanes, or plain
+    cluster order).
     """
     active = ~payload.terminated
     hit, sd = trace(
@@ -280,7 +281,7 @@ def bdpt_pass(
     if trace is None:
         from ..ops.shading import make_shaded_tracer
 
-        trace = make_shaded_tracer(baked)
+        trace = make_shaded_tracer(baked, sort_divergent=cfg.sort_bounces)
     cam = baked.data.camera
     lights = baked.data.lights
     pos4 = channels["WorldPosition"]
@@ -338,8 +339,7 @@ def bdpt_pass(
     payload = payload.replace(terminated=~valid)  # background lanes inert
     for depth in range(1, d_max):
         was_active = ~payload.terminated
-        payload = shoot_ray(payload, trace, cfg,
-                            coherent=not cfg.sort_bounces)
+        payload = shoot_ray(payload, trace, cfg, coherent=False)
         camera_path[depth + 1] = payload.vertex().where(was_active, zeros_vert)
     seed = payload.seed
 
@@ -355,8 +355,7 @@ def bdpt_pass(
     lpayload = lpayload.replace(terminated=~valid)
     for depth in range(0, d_max):
         was_active = ~lpayload.terminated
-        lpayload = shoot_ray(lpayload, trace, cfg,
-                             coherent=not cfg.sort_bounces)
+        lpayload = shoot_ray(lpayload, trace, cfg, coherent=False)
         light_path[depth + 1] = lpayload.vertex().where(was_active, zeros_vert)
         take[depth + 1] = jnp.where(was_active, ~lpayload.terminated, take[depth + 1])
     seed = lpayload.seed

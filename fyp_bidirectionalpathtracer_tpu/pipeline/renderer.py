@@ -76,7 +76,7 @@ def render_frame_fn(
         )
     else:
         intersect = scene.intersector()
-        trace = make_shaded_tracer(scene)
+        trace = make_shaded_tracer(scene, sort_divergent=cfg.bdpt.sort_bounces)
 
         lens_radius = (
             cfg.gbuffer.focal_length_gui / (2.0 * cfg.gbuffer.f_stop)

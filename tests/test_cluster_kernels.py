@@ -182,3 +182,37 @@ def test_cluster_single_cluster_edge_case():
     hb2 = intersect_brute(cornell.tris, o, d, 1e-3,
                           t_max=jnp.full((300,), 0.4))
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(hb2.hit))
+
+
+def test_fm_variant_matches_row_major(spheres):
+    """Field-major kernel wrappers + planar decode are bitwise-identical to
+    the row-major path (pure layout change)."""
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import (
+        shading_from_fields,
+        shading_from_fields_fm,
+    )
+
+    o, d = _rays(600, seed=7)
+    tp = pc.pack_shaded_tris_cluster(spheres.tris, spheres.data.materials)
+    ab = pc.pack_cluster_aabbs(spheres.tris)
+    h0, f0 = pc.intersect_shaded_clusters(spheres.tris, tp, ab, o, d, 1e-3)
+    h1, f1 = pc.intersect_shaded_clusters_fm(spheres.tris, tp, ab, o, d, 1e-3)
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(jnp.moveaxis(f1, 0, -1)))
+    atlas = spheres.data.textures
+    view = jnp.zeros((3,))
+    sd0 = shading_from_fields(f0, atlas, h0, o, d, view)
+    sd1 = shading_from_fields_fm(f1, atlas, h1, o, d, view)
+    for k in ("pos_w", "n", "diffuse", "specular", "roughness", "emissive",
+              "ior", "n_dot_v", "material_id", "uv", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sd0, k)), np.asarray(getattr(sd1, k)), err_msg=k
+        )
+
+    lp = lane.pack_shaded_tris_lane(spheres.tris, spheres.data.materials)
+    hl0, fl0 = lane.intersect_shaded_lanes(spheres.tris, lp, o, d, 1e-3)
+    hl1, fl1 = lane.intersect_shaded_lanes_fm(spheres.tris, lp, o, d, 1e-3)
+    np.testing.assert_array_equal(np.asarray(hl0.tri), np.asarray(hl1.tri))
+    np.testing.assert_array_equal(
+        np.asarray(fl0), np.asarray(jnp.moveaxis(fl1, 0, -1))
+    )
