@@ -117,6 +117,73 @@ def pack_tris_cluster(tris: TriSoA, ck: int = CK):
     return pack
 
 
+PROXY_P = 512  # proxy triangles seeding best_t before cluster culling
+
+
+def pack_proxy_tris(tris: TriSoA, p: int = PROXY_P):
+    """[P, 16] Baldwin-Weber pack of the p largest-area triangles, with the
+    triangle's GLOBAL id stashed in column 12 (f32; exact below 2^24).
+
+    Closest-hit kernels test this block dense FIRST: in interior scenes most
+    rays hit a wall/floor/ceiling, so ~5% extra pair work seeds best_t with a
+    real hit distance and the per-cluster slab culling then rejects clusters
+    beyond the hit even for fully divergent wavefronts — the cases where
+    per-cell AABB culling otherwise degenerates to brute force.  This is the
+    vectorized stand-in for DXR's per-ray ordered traversal early-out
+    (RtScene.cpp:220-308 hardware TLAS)."""
+    from .pallas_lane import pack_tris_lane
+
+    t = int(tris.v0.shape[0])
+    p = min(_round_up(p, 8), _round_up(t, 8))
+    n = jnp.cross(tris.e1, tris.e2)
+    area2 = jnp.sum(n * n, axis=-1)
+    k = min(p, t)
+    _, idx = jax.lax.top_k(area2, k)
+    idx = idx.astype(jnp.int32)
+    sub = TriSoA(
+        v0=tris.v0[idx], e1=tris.e1[idx], e2=tris.e2[idx],
+        n0=tris.n0[idx], n1=tris.n1[idx], n2=tris.n2[idx],
+        uv0=tris.uv0[idx], uv1=tris.uv1[idx], uv2=tris.uv2[idx],
+        material_id=tris.material_id[idx],
+    )
+    pack = pack_tris_lane(sub)[:p]
+    ids = jnp.full((p,), -1.0, jnp.float32).at[:k].set(idx.astype(jnp.float32))
+    return pack.at[:, 12].set(ids)
+
+
+def _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref):
+    """Dense pair test of the proxy block, updating (bt, bid) in place.
+
+    Winner ids come from pack column 12 (global ids), so a proxy win is a
+    REAL answer: the main loop only overwrites it when strictly closer, and
+    the attribute refetch finds the winner's cluster by id range."""
+    p = proxy_ref.shape[0]
+    for start in range(0, p, CK):
+        size = min(CK, p - start)
+        blk = proxy_ref[pl.ds(start, size), :]
+        id_tile = jnp.broadcast_to(blk[:, 12:13], (size, LANE))
+        in_scene = id_tile >= 0.0
+        for s in range(S):
+            best_t = bt_ref[s:s + 1, :]
+            valid, t = _pair_test_block(
+                blk,
+                o[0][s:s + 1], o[1][s:s + 1], o[2][s:s + 1],
+                d[0][s:s + 1], d[1][s:s + 1], d[2][s:s + 1],
+                tmin[s:s + 1], best_t, cull_backface,
+            )
+            valid = valid & in_scene
+            t_m = jnp.where(valid, t, _BIG)
+            col_min = jnp.min(t_m, axis=0, keepdims=True)
+            improved = col_min < best_t
+            is_min = (t_m == col_min) & valid
+            ids_m = jnp.where(is_min, id_tile, 2e9)
+            new_id = jnp.min(ids_m, axis=0, keepdims=True)
+            bid_ref[s:s + 1, :] = jnp.where(
+                improved, new_id.astype(jnp.int32), bid_ref[s:s + 1, :]
+            )
+            bt_ref[s:s + 1, :] = jnp.where(improved, col_min, best_t)
+
+
 def pack_tris_cluster_hbm(tris: TriSoA, ck: int = CK):
     """[C*ck, 128] pack for the HBM-paged tier: Mosaic DMA slices must be
     lane-aligned (128), so the 16 Baldwin-Weber columns are padded to a
@@ -126,7 +193,7 @@ def pack_tris_cluster_hbm(tris: TriSoA, ck: int = CK):
     return jnp.pad(pack, ((0, 0), (0, 128 - pack.shape[1])))
 
 
-def cell_cluster_order(rows, aabbs, n_cells: int):
+def cell_cluster_order(rows, aabbs, n_cells: int, directional: bool = False):
     """[n_cells, C] int32: per grid-cell cluster visit order, nearest
     cluster (AABB center to the cell's origin centroid) first.
 
@@ -135,13 +202,24 @@ def cell_cluster_order(rows, aabbs, n_cells: int):
     intervals — the SIMD analogue of ordered BVH traversal (the DXR
     hardware's closest-hit early-out, RtScene.cpp:220-308).  For any-hit it
     occludes lanes sooner, emptying the cell's open set.  Cheap XLA prep:
-    one [cells, C] argsort per wavefront."""
+    one [cells, C] argsort per wavefront.
+
+    directional (for octant-major-sorted wavefronts whose cells share a
+    direction cone): order by signed projection of the cluster center along
+    the cell's mean direction — in-front clusters front-to-back, behind
+    clusters last (they slab-cull instantly)."""
     o = rows[0:3].reshape(3, n_cells, -1).mean(axis=-1)      # [3, cells]
     cc = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])               # [C, 3]
-    d2 = ((o.T[:, None, :] - cc[None, :, :]) ** 2).sum(-1)   # [cells, C]
+    rel = cc[None, :, :] - o.T[:, None, :]                   # [cells, C, 3]
+    if directional:
+        dm = rows[3:6].reshape(3, n_cells, -1).mean(axis=-1)  # [3, cells]
+        proj = (rel * dm.T[:, None, :]).sum(-1)               # [cells, C]
+        key = jnp.where(proj >= 0.0, proj, 1e9 - proj)
+    else:
+        key = (rel ** 2).sum(-1)
     # [cells, 1, C]: the per-cell SMEM block is then (1, 1, C), whose
     # trailing two dims equal the array's — the only legal sub-8 block shape
-    return jnp.argsort(d2, axis=1).astype(jnp.int32)[:, None, :]
+    return jnp.argsort(key, axis=1).astype(jnp.int32)[:, None, :]
 
 
 # ----------------------------------------------------------------- kernels
@@ -374,8 +452,8 @@ def _cluster_occlusion_hbm_kernel(
 
 
 def _cluster_closest_hbm_kernel(
-    r_ref, aabb_ref, order_ref, tri_hbm, out_ref, bt_ref, bid_ref, fet_ref,
-    *bufs, n_clusters, ck, n_tris, cull_backface,
+    r_ref, aabb_ref, order_ref, tri_hbm, *rest,
+    n_clusters, ck, n_tris, cull_backface, use_proxy=False,
 ):
     """Lean closest-hit with HBM-resident triangles.
 
@@ -383,11 +461,20 @@ def _cluster_closest_hbm_kernel(
     slab culling (see _group_overlaps) pays one scalar branch per G
     clusters; a surviving group's DMAs are all in flight before the first
     pair test (intra-group pipelining).  Prefetch predicates use best_t at
-    group entry — conservative but correct."""
+    group entry — conservative but correct.  With use_proxy, a VMEM-resident
+    proxy block (pack_proxy_tris) seeds best_t dense before any DMA — in the
+    HBM tier a culled cluster saves the transfer too."""
+    if use_proxy:
+        proxy_ref, out_ref, bt_ref, bid_ref, fet_ref, *bufs = rest
+    else:
+        proxy_ref = None
+        out_ref, bt_ref, bid_ref, fet_ref, *bufs = rest
     blks, sems = bufs[:G], bufs[G:]
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
+    if use_proxy:
+        _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
     def body(g, _):
         best = bt_ref[...]
@@ -471,12 +558,19 @@ def _cluster_closest_hbm_kernel(
 
 
 def _cluster_shaded_kernel(
-    r_ref, aabb_ref, order_ref, tri_ref, out_ref, bt_ref, bid_ref, fet_ref,
-    *, n_clusters, ck, n_tris, cull_backface,
+    r_ref, aabb_ref, order_ref, tri_ref, *rest,
+    n_clusters, ck, n_tris, cull_backface, use_proxy=False,
 ):
+    if use_proxy:
+        proxy_ref, out_ref, bt_ref, bid_ref, fet_ref = rest
+    else:
+        proxy_ref = None
+        out_ref, bt_ref, bid_ref, fet_ref = rest
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
+    if use_proxy:
+        _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
     def body(g, _):
         best = bt_ref[...]
@@ -601,17 +695,24 @@ def _cluster_shaded_kernel(
 
 
 def _cluster_closest_kernel(
-    r_ref, aabb_ref, order_ref, tri_ref, out_ref, bt_ref, bid_ref, fet_ref,
-    *, n_clusters, ck, n_tris, cull_backface,
+    r_ref, aabb_ref, order_ref, tri_ref, *rest,
+    n_clusters, ck, n_tris, cull_backface, use_proxy=False,
 ):
     """Lean closest-hit over the [T,16] Baldwin-Weber pack: outputs only
     (t, id, u, v) — shading attributes come from an XLA gather outside the
     kernel (ops.shading.prepare_shading_data), which keeps the VMEM
     footprint at 64 B/triangle and raises the cluster-path scene ceiling
     4x over the fused 192 B/triangle shaded pack."""
+    if use_proxy:
+        proxy_ref, out_ref, bt_ref, bid_ref, fet_ref = rest
+    else:
+        proxy_ref = None
+        out_ref, bt_ref, bid_ref, fet_ref = rest
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
     bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
+    if use_proxy:
+        _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
     def body(g, _):
         best = bt_ref[...]
@@ -684,12 +785,13 @@ def _cluster_closest_kernel(
 
 # ---------------------------------------------------------------- wrappers
 @functools.partial(
-    jax.jit, static_argnames=("n_clusters", "ck", "n_tris", "interpret")
+    jax.jit,
+    static_argnames=("n_clusters", "ck", "n_tris", "interpret", "directional"),
 )
 def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
-                              interpret):
+                              interpret, directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S)
+    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
     return pl.pallas_call(
         functools.partial(
             _cluster_occlusion_kernel,
@@ -717,29 +819,36 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "ck", "n_tris", "cull_backface",
-                     "interpret"),
+                     "interpret", "directional"),
 )
 def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
-                           cull_backface, interpret):
+                           cull_backface, interpret, proxy=None,
+                           directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S)
+    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
+    in_specs = [
+        pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [rows, aabbs, order, tri_pack]
+    if proxy is not None:
+        in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(proxy)
     return pl.pallas_call(
         functools.partial(
             _cluster_shaded_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
-            cull_backface=cull_backface,
+            cull_backface=cull_backface, use_proxy=proxy is not None,
         ),
         grid=(n_cols // S,),
-        in_specs=[
-            pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((OUT_W, S, LANE), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((OUT_W, n_cols, LANE), jnp.float32),
@@ -749,35 +858,42 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             pltpu.VMEM((S, _ATTR_HI, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(rows, aabbs, order, tri_pack)
+    )(*operands)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "ck", "n_tris", "cull_backface",
-                     "interpret"),
+                     "interpret", "directional"),
 )
 def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
-                            cull_backface, interpret):
+                            cull_backface, interpret, proxy=None,
+                            directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S)
+    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
+    in_specs = [
+        pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [rows, aabbs, order, tri_pack]
+    if proxy is not None:
+        in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(proxy)
     return pl.pallas_call(
         functools.partial(
             _cluster_closest_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
-            cull_backface=cull_backface,
+            cull_backface=cull_backface, use_proxy=proxy is not None,
         ),
         grid=(n_cols // S,),
-        in_specs=[
-            pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((4, S, LANE), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n_cols, LANE), jnp.float32),
@@ -787,7 +903,7 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             pltpu.VMEM((S, 12, LANE), jnp.float32),  # BW winner rows
         ],
         interpret=interpret,
-    )(rows, aabbs, order, tri_pack)
+    )(*operands)
 
 
 def intersect_closest_clusters(
@@ -801,6 +917,8 @@ def intersect_closest_clusters(
     aabbs=None,
     ck: int = CK,
     interpret: bool | None = None,
+    proxy_pack=None,
+    directional: bool = False,
 ) -> HitRecord:
     """Closest-hit over the lean [T,16] pack (64 B/tri VMEM): the
     large-cluster tier.  Shading attributes come from XLA gathers outside
@@ -815,7 +933,8 @@ def intersect_closest_clusters(
         aabbs = pack_cluster_aabbs(tris, ck)
     out = _launch_cluster_closest(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
-        int(tris.v0.shape[0]), cull_backface, interpret,
+        int(tris.v0.shape[0]), cull_backface, interpret, proxy=proxy_pack,
+        directional=directional,
     )
     flat = out.reshape(4, -1)[:, :n]
     tri = flat[1].astype(jnp.int32).reshape(shape)
@@ -829,12 +948,13 @@ def intersect_closest_clusters(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_clusters", "ck", "n_tris", "interpret")
+    jax.jit,
+    static_argnames=("n_clusters", "ck", "n_tris", "interpret", "directional"),
 )
 def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
-                                  n_tris, interpret):
+                                  n_tris, interpret, directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S)
+    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
     return pl.pallas_call(
         functools.partial(
             _cluster_occlusion_hbm_kernel,
@@ -865,28 +985,35 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "ck", "n_tris", "cull_backface",
-                     "interpret"),
+                     "interpret", "directional"),
 )
 def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
-                                n_tris, cull_backface, interpret):
+                                n_tris, cull_backface, interpret, proxy=None,
+                                directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S)
+    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
+    in_specs = [
+        pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
+    ]
+    operands = [rows, aabbs, order, tri_pack]
+    if proxy is not None:
+        in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(proxy)
     return pl.pallas_call(
         functools.partial(
             _cluster_closest_hbm_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
-            cull_backface=cull_backface,
+            cull_backface=cull_backface, use_proxy=proxy is not None,
         ),
         grid=(n_cols // S,),
-        in_specs=[
-            pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((4, S, LANE), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, n_cols, LANE), jnp.float32),
@@ -900,12 +1027,13 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
             + [pltpu.SemaphoreType.DMA for _ in range(G)]
         ),
         interpret=interpret,
-    )(rows, aabbs, order, tri_pack)
+    )(*operands)
 
 
 def occluded_clusters_hbm(tris, origin, direction, t_min, t_max=None,
                           tri_pack=None, aabbs=None, ck: int = CK,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          directional: bool = False):
     """Any-hit with HBM-resident triangles (the unbounded-scene tier)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -917,7 +1045,7 @@ def occluded_clusters_hbm(tris, origin, direction, t_min, t_max=None,
         aabbs = pack_cluster_aabbs(tris, ck)
     hits = _launch_cluster_occlusion_hbm(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
-        int(tris.v0.shape[0]), interpret,
+        int(tris.v0.shape[0]), interpret, directional=directional,
     )
     return (hits.reshape(-1)[:n] > 0).reshape(shape)
 
@@ -933,6 +1061,8 @@ def intersect_closest_clusters_hbm(
     aabbs=None,
     ck: int = CK,
     interpret: bool | None = None,
+    proxy_pack=None,
+    directional: bool = False,
 ) -> HitRecord:
     """Closest-hit with HBM-resident triangles (demand-paged clusters)."""
     if interpret is None:
@@ -945,7 +1075,8 @@ def intersect_closest_clusters_hbm(
         aabbs = pack_cluster_aabbs(tris, ck)
     out = _launch_cluster_closest_hbm(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
-        int(tris.v0.shape[0]), cull_backface, interpret,
+        int(tris.v0.shape[0]), cull_backface, interpret, proxy=proxy_pack,
+        directional=directional,
     )
     flat = out.reshape(4, -1)[:, :n]
     tri = flat[1].astype(jnp.int32).reshape(shape)
@@ -960,7 +1091,8 @@ def intersect_closest_clusters_hbm(
 
 def occluded_clusters(tris, origin, direction, t_min, t_max=None,
                       tri_pack=None, aabbs=None, ck: int = CK,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      directional: bool = False):
     """Boolean any-hit query via the clustered kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -972,7 +1104,7 @@ def occluded_clusters(tris, origin, direction, t_min, t_max=None,
         aabbs = pack_cluster_aabbs(tris, ck)
     hits = _launch_cluster_occlusion(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
-        int(tris.v0.shape[0]), interpret,
+        int(tris.v0.shape[0]), interpret, directional=directional,
     )
     return (hits.reshape(-1)[:n] > 0).reshape(shape)
 
@@ -988,6 +1120,8 @@ def intersect_shaded_clusters(
     cull_backface: bool = False,
     ck: int = CK,
     interpret: bool | None = None,
+    proxy_pack=None,
+    directional: bool = False,
 ):
     """Returns (HitRecord, fields [..., OUT_W]) like pallas_lane/shaded."""
     if interpret is None:
@@ -996,7 +1130,8 @@ def intersect_shaded_clusters(
     rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
     out = _launch_cluster_shaded(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
-        int(tris.v0.shape[0]), cull_backface, interpret,
+        int(tris.v0.shape[0]), cull_backface, interpret, proxy=proxy_pack,
+        directional=directional,
     )
     fields = out.reshape(OUT_W, -1)[:, :n].T.reshape(shape + (OUT_W,))
     tri = fields[..., 1].astype(jnp.int32)
@@ -1021,6 +1156,8 @@ def intersect_shaded_clusters_fm(
     cull_backface: bool = False,
     ck: int = CK,
     interpret: bool | None = None,
+    proxy_pack=None,
+    directional: bool = False,
 ):
     """Field-major variant of intersect_shaded_clusters: returns
     (HitRecord, fields_fm [OUT_W, ...shape]) without the [N, OUT_W]
@@ -1033,7 +1170,8 @@ def intersect_shaded_clusters_fm(
     rows, n, n_cols = rays_to_rows(origin, direction, t_min, t_max, shape)
     out = _launch_cluster_shaded(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
-        int(tris.v0.shape[0]), cull_backface, interpret,
+        int(tris.v0.shape[0]), cull_backface, interpret, proxy=proxy_pack,
+        directional=directional,
     )
     flat = out.reshape(OUT_W, -1)[:, :n]
     fields_fm = flat.reshape((OUT_W,) + shape)

@@ -324,7 +324,11 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
 
     if use_cluster:
         from . import pallas_cluster as pc
-        from ..ops.raysort import make_permutation, ray_sort_keys, scene_bounds
+        from ..ops.raysort import (
+            make_permutation,
+            ray_sort_keys_dirq,
+            scene_bounds,
+        )
 
         ck = pc.CK if hbm_tier else pc.pick_ck(n_tris)
         aabbs = pc.pack_cluster_aabbs(tris, ck)
@@ -347,13 +351,17 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
         )
 
         def sort_wavefront(origin, direction, t_min, t_max):
-            """Morton-sort an incoherent wavefront (ops.raysort): returns
-            (o, d, t_min, t_max, inv) flat in sorted order."""
+            """Direction-major sort of an incoherent wavefront
+            (ops.raysort.ray_sort_keys_dirq): returns (o, d, t_min, t_max,
+            inv) flat in sorted order.  Direction-coherent cells are what
+            the cluster kernels' per-cell culling + front-to-back visit
+            order need (divergent any-hit 73 -> 56 ms/1M incl. permutes,
+            benchmarks/divergent_micro.py)."""
             shape = origin.shape[:-1]
             o = origin.reshape(-1, 3)
             d = direction.reshape(-1, 3)
             lo, hi = scene_bounds(tris)
-            perm, inv = make_permutation(ray_sort_keys(o, d, lo, hi))
+            perm, inv = make_permutation(ray_sort_keys_dirq(o, d, lo, hi))
             tn = jnp.broadcast_to(
                 jnp.asarray(t_min, jnp.float32), shape
             ).reshape(-1, 1)
@@ -383,7 +391,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     occ_s = occluded_fn(
                         tris, o, d, tn, tm,
                         tri_pack=occ_pack, aabbs=aabbs, ck=ck,
-                        interpret=interp,
+                        interpret=interp, directional=True,
                     )
                     occ = occ_s[inv].reshape(shape)
                 zero = jnp.zeros(occ.shape, jnp.float32)
@@ -394,16 +402,18 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     bary_v=zero,
                 )
 
-            def run_closest(o, d, tn, tm):
+            def run_closest(o, d, tn, tm, directional=False):
                 if shaded_pack is not None:
                     hit, _ = pc.intersect_shaded_clusters(
                         tris, shaded_pack, aabbs, o, d, tn,
                         tm, cull_backface, ck=ck, interpret=interp,
+                        directional=directional,
                     )
                     return hit
                 return closest_lean_fn(
                     tris, o, d, tn, tm, cull_backface,
                     tri_pack=occ_pack, aabbs=aabbs, ck=ck, interpret=interp,
+                    directional=directional,
                 )
 
             if coherent:
@@ -411,7 +421,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
             o, d, tn, tm, inv, shape = sort_wavefront(
                 origin, direction, t_min, t_max
             )
-            hit_s = run_closest(o, d, tn, tm)
+            hit_s = run_closest(o, d, tn, tm, directional=True)
             packed = jnp.stack(
                 [hit_s.t, hit_s.tri.astype(jnp.float32),
                  hit_s.bary_u, hit_s.bary_v], -1,

@@ -36,9 +36,16 @@ def _spread4(x):
     return x
 
 
-def ray_sort_keys(origin, direction, lo, hi):
+def ray_sort_keys(origin, direction, lo, hi, octant_major: bool = False):
     """15-bit coherence key per ray: 12-bit Morton of the quantized origin
-    (4 bits/axis within [lo, hi]) + 3-bit direction octant."""
+    (4 bits/axis within [lo, hi]) + 3-bit direction octant.
+
+    octant_major puts the direction octant in the HIGH bits: sorted cells
+    then hold rays travelling the same general direction, which is what the
+    cluster tiers' per-cell slab culling and nearest-first visit order need
+    (clusters behind a whole direction-coherent cell cull; best_t tightens
+    front-to-back).  Origin-major keys (default) favour shared-origin
+    locality instead — right for shadow fans, wrong for BRDF bounces."""
     span = jnp.maximum(hi - lo, 1e-6)
     q = jnp.clip(
         ((origin - lo) / span * 16.0).astype(jnp.int32), 0, 15
@@ -53,7 +60,28 @@ def ray_sort_keys(origin, direction, lo, hi):
         | ((direction[..., 1] >= 0).astype(jnp.int32) << 1)
         | ((direction[..., 2] >= 0).astype(jnp.int32) << 2)
     )
+    if octant_major:
+        return (octant << 12) | morton
     return (morton << 3) | octant
+
+
+def ray_sort_keys_dirq(origin, direction, lo, hi):
+    """Direction-major key with finer direction resolution: 2 bits/axis of
+    the (unnormalized-ok) direction in the HIGH bits, 9-bit origin Morton
+    (3 bits/axis) in the LOW bits.  Trades origin locality for tighter
+    per-cell direction cones — for BRDF-bounce wavefronts where the cluster
+    tiers' culling lives or dies on cone width."""
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(((origin - lo) / span * 8.0).astype(jnp.int32), 0, 7)
+    morton9 = (
+        _spread4(q[..., 0]) | (_spread4(q[..., 1]) << 1)
+        | (_spread4(q[..., 2]) << 2)
+    )
+    qd = jnp.clip(
+        ((direction + 1.0) * 2.0).astype(jnp.int32), 0, 3
+    )
+    dir6 = (qd[..., 0] << 4) | (qd[..., 1] << 2) | qd[..., 2]
+    return (dir6 << 9) | morton9
 
 
 def make_permutation(keys_flat):

@@ -318,7 +318,8 @@ DENSE_DIVERGENT_MAX = 0
 
 def make_shaded_tracer(baked, brute_threshold: int = 2048,
                        force_fused: bool | None = None,
-                       sort_divergent: bool = False):
+                       sort_divergent: bool = False,
+                       force_cluster: bool = False):
     """Build a `trace(origin, dir, t_min, view_origin, cull_backface,
     coherent) -> (HitRecord, ShadingData)` closure.
 
@@ -344,12 +345,14 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
     use_fused = use_fused and (on_tpu or force_fused) and (
         traverse_mod.PALLAS_ENABLED or force_fused
     )
-    use_cluster = (
+    use_cluster = force_cluster or (
         not use_fused
         and n_tris <= traverse_mod.CLUSTER_THRESHOLD
         and on_tpu
         and traverse_mod.PALLAS_ENABLED
     )
+    if force_cluster:
+        use_fused = False
     intersect = baked.intersector(brute_threshold)
 
     def alpha_wrap(trace):
@@ -369,9 +372,14 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
             pick_ck,
         )
         from ..accel.traverse import HitRecord as _HitRecord
-        from .raysort import make_permutation, ray_sort_keys, scene_bounds
+        from .raysort import (
+            make_permutation,
+            ray_sort_keys_dirq,
+            scene_bounds,
+        )
 
         ck = pick_ck(n_tris)
+        interp = jax.default_backend() != "tpu"
         pack = pack_shaded_tris_cluster(baked.tris, baked.data.materials, ck)
         aabbs = pack_cluster_aabbs(baked.tris, ck)
 
@@ -389,7 +397,7 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
             if not coherent and dense_divergent and not sort_divergent:
                 hit, fields_fm = intersect_shaded_lanes_fm(
                     baked.tris, lane_pack, origin, direction, t_min,
-                    cull_backface=cull_backface, interpret=False,
+                    cull_backface=cull_backface, interpret=interp,
                 )
                 sd = shading_from_fields_fm(
                     fields_fm, baked.data.textures, hit, origin, direction,
@@ -397,36 +405,77 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
                 )
                 return hit, sd
             if not coherent and sort_divergent:
-                # Morton-sort the wavefront so cluster AABB culling sees
-                # coherent tiles (ops.raysort); ONE packed gather each way
+                # Direction-major sort (ops.raysort dirq keys) so cluster
+                # culling + front-to-back visit order see direction-coherent
+                # cells (bounce closest 117.9 -> ~88 ms/1M on pink_room,
+                # benchmarks/divergent_micro.py).  The decode runs in SORTED
+                # space; the inverse permutation moves only what downstream
+                # consumes, split into <=16-column gathers (the TPU gather
+                # width cliff): 16 shading cols + 6 hit/uv cols.  pos/v/
+                # n_dot_v are recomputed from unsorted rays instead of
+                # permuted (exact: same formulas the decode used).
                 shape = origin.shape[:-1]
                 o = origin.reshape(-1, 3)
                 d = direction.reshape(-1, 3)
+                vo = jnp.broadcast_to(
+                    view_origin, origin.shape
+                ).reshape(-1, 3)
                 tmin_flat = jnp.broadcast_to(
                     jnp.asarray(t_min, jnp.float32), shape
                 ).reshape(-1, 1)
                 lo, hi = scene_bounds(baked.tris)
-                perm, inv = make_permutation(ray_sort_keys(o, d, lo, hi))
-                od = jnp.concatenate([o, d, tmin_flat], -1)[perm]
-                _, fields_s = intersect_shaded_clusters(
-                    baked.tris, pack, aabbs, od[:, :3], od[:, 3:6], od[:, 6],
-                    cull_backface=cull_backface, ck=ck, interpret=False,
+                perm, inv = make_permutation(ray_sort_keys_dirq(o, d, lo, hi))
+                packed = jnp.concatenate([o, d, vo, tmin_flat], -1)[perm]
+                hit_s, ffm_s = intersect_shaded_clusters_fm(
+                    baked.tris, pack, aabbs, packed[:, 0:3], packed[:, 3:6],
+                    packed[:, 9], cull_backface=cull_backface, ck=ck,
+                    interpret=interp, directional=True,
                 )
-                fields = fields_s[inv].reshape(shape + (OUT_W,))
-                tri = fields[..., 1].astype(jnp.int32)
-                miss = tri < 0
+                sd_s = shading_from_fields_fm(
+                    ffm_s, baked.data.textures, hit_s, packed[:, 0:3],
+                    packed[:, 3:6], packed[:, 6:9]
+                )
+                f32 = jnp.float32
+                pack_a = jnp.concatenate([
+                    sd_s.n, sd_s.diffuse, sd_s.specular,
+                    sd_s.linear_roughness[:, None], sd_s.emissive,
+                    sd_s.opacity[:, None], sd_s.ior[:, None],
+                    sd_s.material_id.astype(f32)[:, None],
+                ], -1)[inv]                                   # [N, 16]
+                pack_b = jnp.concatenate([
+                    sd_s.uv, hit_s.t[:, None],
+                    hit_s.tri.astype(f32)[:, None],
+                    hit_s.bary_u[:, None], hit_s.bary_v[:, None],
+                ], -1)[inv]                                   # [N, 6]
+                tri = pack_b[:, 3].astype(jnp.int32).reshape(shape)
+                t_ = pack_b[:, 2].reshape(shape)
                 hit = _HitRecord(
-                    t=jnp.where(miss, jnp.float32(1e30), fields[..., 0]),
-                    tri=tri, bary_u=fields[..., 2], bary_v=fields[..., 3],
+                    t=t_, tri=tri,
+                    bary_u=pack_b[:, 4].reshape(shape),
+                    bary_v=pack_b[:, 5].reshape(shape),
                 )
-                sd = shading_from_fields(
-                    fields, baked.data.textures, hit, origin, direction,
-                    view_origin
+                n = pack_a[:, 0:3].reshape(shape + (3,))
+                lr = pack_a[:, 9].reshape(shape)
+                pos = origin + t_[..., None] * direction
+                v = normalize(
+                    jnp.broadcast_to(view_origin, origin.shape) - pos
+                )
+                sd = ShadingData(
+                    pos_w=pos, n=n, v=v,
+                    uv=pack_b[:, 0:2].reshape(shape + (2,)),
+                    diffuse=pack_a[:, 3:6].reshape(shape + (3,)),
+                    specular=pack_a[:, 6:9].reshape(shape + (3,)),
+                    linear_roughness=lr, roughness=lr * lr,
+                    emissive=pack_a[:, 10:13].reshape(shape + (3,)),
+                    opacity=pack_a[:, 13].reshape(shape),
+                    ior=pack_a[:, 14].reshape(shape),
+                    n_dot_v=dot(n, v),
+                    material_id=pack_a[:, 15].astype(jnp.int32).reshape(shape),
                 )
                 return hit, sd
             hit, fields_fm = intersect_shaded_clusters_fm(
                 baked.tris, pack, aabbs, origin, direction, t_min,
-                cull_backface=cull_backface, ck=ck, interpret=False,
+                cull_backface=cull_backface, ck=ck, interpret=interp,
             )
             sd = shading_from_fields_fm(
                 fields_fm, baked.data.textures, hit, origin, direction,

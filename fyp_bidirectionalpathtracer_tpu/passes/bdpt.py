@@ -418,7 +418,11 @@ def bdpt_pass(
         o_b = jnp.stack([camera_path[s].pos for _, s, _ in e3_pairs])
         d_b = jnp.stack([g[0] for g in e3_geom])
         t_b = jnp.stack([g[1] for g in e3_geom])
-        e3_vis = shadow_fn(o_b, d_b, cfg.min_t, t_b)
+        # s,t-connection rays start at scattered camera vertices and point
+        # at scattered light vertices: fully divergent.  coherent=False lets
+        # the cluster tier direction-sort them (anyhit 73 -> 56 ms/1M,
+        # benchmarks/divergent_micro.py).
+        e3_vis = shadow_fn(o_b, d_b, cfg.min_t, t_b, coherent=False)
     for k, (total_len, s, t) in enumerate(e3_pairs):
         vis = e3_vis[k]
         if t >= 1:

@@ -216,3 +216,54 @@ def test_fm_variant_matches_row_major(spheres):
     np.testing.assert_array_equal(
         np.asarray(fl0), np.asarray(jnp.moveaxis(fl1, 0, -1))
     )
+
+
+def test_proxy_seed_matches_unseeded(spheres):
+    """Proxy-t seeding (pack_proxy_tris) must not change closest-hit
+    results: the proxy block's winner is a real (id, t) answer and the
+    main loop only improves on it."""
+    tp = pc.pack_shaded_tris_cluster(spheres.tris, spheres.data.materials)
+    ab = pc.pack_cluster_aabbs(spheres.tris)
+    proxy = pc.pack_proxy_tris(spheres.tris, 128)
+    o, d = _rays(700, seed=3)
+    h0, f0 = pc.intersect_shaded_clusters(spheres.tris, tp, ab, o, d, 1e-3)
+    h1, f1 = pc.intersect_shaded_clusters(
+        spheres.tris, tp, ab, o, d, 1e-3, proxy_pack=proxy
+    )
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-6)
+
+    # lean kernel path
+    h2 = pc.intersect_closest_clusters(spheres.tris, o, d, 1e-3)
+    h3 = pc.intersect_closest_clusters(
+        spheres.tris, o, d, 1e-3, proxy_pack=proxy
+    )
+    np.testing.assert_array_equal(np.asarray(h2.tri), np.asarray(h3.tri))
+    np.testing.assert_allclose(np.asarray(h2.t), np.asarray(h3.t), atol=1e-6)
+
+    # HBM-paged path
+    h4 = pc.intersect_closest_clusters_hbm(
+        spheres.tris, o, d, 1e-3, proxy_pack=proxy
+    )
+    np.testing.assert_array_equal(np.asarray(h2.tri), np.asarray(h4.tri))
+
+
+def test_sorted_tracer_matches_unsorted(spheres):
+    """make_shaded_tracer's direction-major sorted divergent path must give
+    the same hits/shading as the unsorted cluster path (the sort is a pure
+    permutation; the split inverse gathers must reassemble every channel)."""
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import make_shaded_tracer
+
+    o, d = _rays(600, seed=5)
+    plain = make_shaded_tracer(spheres, force_cluster=True,
+                               sort_divergent=False)
+    srt = make_shaded_tracer(spheres, force_cluster=True, sort_divergent=True)
+    h0, sd0 = plain(o, d, 1e-3, o, coherent=False)
+    h1, sd1 = srt(o, d, 1e-3, o, coherent=False)
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    np.testing.assert_allclose(np.asarray(h0.t), np.asarray(h1.t), atol=1e-6)
+    for name in ("pos_w", "n", "v", "diffuse", "specular", "roughness",
+                 "emissive", "opacity", "uv", "n_dot_v", "material_id"):
+        a, b = getattr(sd0, name), getattr(sd1, name)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, err_msg=name)
