@@ -248,13 +248,19 @@ def _eval_brdf_tiles(v, l, n, dif, spec, rough, is_spec, mat_model: int):
     return _where3(below, (jnp.zeros_like(rough),) * 3, out)
 
 
-def _nee_shade_tiles(vis, l, inten, n, v, dif, spec, rough, lcnt, mat_model):
-    """ops.materials.nee_shade on tiles."""
+def _nee_shade_tiles_split(vis, l, inten, n, v, dif, spec, rough, lcnt,
+                           mat_model):
+    """ops.materials.nee_shade on tiles, split into (diffuse-albedo-linear
+    part, specular part) — the one place the estimators mix both lobes
+    (ggxDirect sums them, MaterialUtils.hlsli:149-184), so deferred
+    texturing needs the dif-linear part separately."""
     n_dot_l = _saturate(_dot3(n, l))
     shadow_mult = jnp.where(vis, lcnt, 0.0)
+    zero = jnp.zeros_like(n_dot_l)
     if mat_model != 0:
-        return tuple(shadow_mult * n_dot_l * ic * dc / M_PI
+        difp = tuple(shadow_mult * n_dot_l * ic * dc / M_PI
                      for ic, dc in zip(inten, dif))
+        return difp, (zero, zero, zero)
     h = _normed(_add3(v, l))
     n_dot_h = _saturate(_dot3(n, h))
     l_dot_h = _saturate(_dot3(l, h))
@@ -268,10 +274,19 @@ def _nee_shade_tiles(vis, l, inten, n, v, dif, spec, rough, lcnt, mat_model):
     )
     f5 = jnp.power(jnp.maximum(0.0, 1.0 - l_dot_h), 5.0)
     dg4 = d * g / (4.0 * n_dot_v)
-    return tuple(
-        shadow_mult * ic * ((sc + (1.0 - sc) * f5) * dg4 + n_dot_l * dc * M_1_PI)
-        for ic, sc, dc in zip(inten, spec, dif)
+    difp = tuple(shadow_mult * ic * n_dot_l * dc * M_1_PI
+                 for ic, dc in zip(inten, dif))
+    specp = tuple(shadow_mult * ic * (sc + (1.0 - sc) * f5) * dg4
+                  for ic, sc in zip(inten, spec))
+    return difp, specp
+
+
+def _nee_shade_tiles(vis, l, inten, n, v, dif, spec, rough, lcnt, mat_model):
+    """ops.materials.nee_shade on tiles."""
+    difp, specp = _nee_shade_tiles_split(
+        vis, l, inten, n, v, dif, spec, rough, lcnt, mat_model
     )
+    return tuple(dp + sp for dp, sp in zip(difp, specp))
 
 
 # -------------------------------------------------------- intersection core
@@ -355,12 +370,20 @@ def _trace_rows(tri_ref, bounds, n_tris, o, d, tmin_tiles, cull_backface):
         "t": t_,
         "pos": pos,
         "n_raw": n_raw,
+        # uv + texture slots feed the deferred-texture records; the one-hot
+        # fetch already pulled the rows, so untextured kernels DCE these.
+        "uv": (
+            w * attr(21) + u * attr(23) + v * attr(25),
+            w * attr(22) + u * attr(24) + v * attr(26),
+        ),
         "base": (attr(27), attr(28), attr(29), attr(30)),
         "spec": (attr(31), attr(32), attr(33), attr(34)),
         "emissive": (attr(35), attr(36), attr(37)),
         "ior": attr(38),
         "shading_model": attr(39),
         "double_sided": attr(40),
+        "bc_tex": attr(41),
+        "em_tex": attr(43),
     }
 
 
@@ -490,18 +513,22 @@ def _zeros_vertex(shape):
     # bools that jnp.where-selected bool state materializes back to i1
     # (same workaround as accel.pallas_subpath).
     z = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
     return {
         "color": (z, z, z), "pos": (z, z, z), "n": (z, z, z), "v": (z, z, z),
         "dif": (z, z, z), "spec": (z, z, z), "rough": z, "is_spec": z,
         "pdf": z,
+        # deferred-texture record fields (slot -1 => ratio 1; const 1 avoids
+        # 0/0 in the post-kernel ratio); DCE'd when untextured
+        "uv": (z, z), "bslot": -one, "bconst": (one, one, one),
     }
 
 
 def _vertex_where(mask, a, b):
     out = {}
-    for k in ("color", "pos", "n", "v", "dif", "spec"):
+    for k in ("color", "pos", "n", "v", "dif", "spec", "uv", "bconst"):
         out[k] = _where3(mask, a[k], b[k])
-    for k in ("rough", "pdf", "is_spec"):
+    for k in ("rough", "pdf", "is_spec", "bslot"):
         out[k] = jnp.where(mask, a[k], b[k])
     return out
 
@@ -517,6 +544,7 @@ def frame_kernel(
     bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
     enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens,
+    textured=False,
 ):
     shape = (S, LANE)
     n_pix = width * height
@@ -626,6 +654,8 @@ def frame_kernel(
             "color": wgt, "pos": world_pos, "n": world_norm, "v": v_tiles,
             "dif": dif, "spec": spc, "rough": rough,
             "is_spec": is_spec1.astype(jnp.float32), "pdf": pdf1,
+            "uv": tr["uv"], "bslot": tr["bc_tex"],
+            "bconst": (tr["base"][0], tr["base"][1], tr["base"][2]),
         },
         zeros_vert,
     )
@@ -666,6 +696,12 @@ def frame_kernel(
         new["pdf"] = jnp.where(got, pdf_b, state["pdf"])
         new["o"] = _where3(got, sd_b["pos"], state["o"])
         new["d"] = _where3(got, l_b, state["d"])
+        new["uv"] = _where3(got, tr_b["uv"], state["uv"])
+        new["bslot"] = jnp.where(got, tr_b["bc_tex"], state["bslot"])
+        new["bconst"] = _where3(
+            got, (tr_b["base"][0], tr_b["base"][1], tr_b["base"][2]),
+            state["bconst"],
+        )
         new["term"] = state["term"] | missed
         return new
 
@@ -675,13 +711,18 @@ def frame_kernel(
             "v": state["v"], "dif": state["dif"], "spec": state["spec"],
             "rough": state["rough"], "is_spec": state["is_spec"],
             "pdf": state["pdf"],
+            "uv": state["uv"], "bslot": state["bslot"],
+            "bconst": state["bconst"],
         }
 
+    ones_t = jnp.ones(shape, jnp.float32)
     state = {
         "o": world_pos, "d": out_dir, "color": wgt, "seed": seed,
         "pos": world_pos, "n": (zero_t,) * 3, "v": (zero_t,) * 3,
         "dif": (zero_t,) * 3, "spec": (zero_t,) * 3, "rough": zero_t,
         "is_spec": zero_t, "pdf": zero_t, "term": ~valid,
+        "uv": (zero_t, zero_t), "bslot": -ones_t,
+        "bconst": (ones_t, ones_t, ones_t),
     }
     for depth in range(1, d_max):
         was_active = ~state["term"]
@@ -714,6 +755,8 @@ def frame_kernel(
         "pos": l_origin, "n": (zero_t,) * 3, "v": (zero_t,) * 3,
         "dif": (zero_t,) * 3, "spec": (zero_t,) * 3, "rough": zero_t,
         "is_spec": zero_t, "pdf": zero_t, "term": ~valid,
+        "uv": (zero_t, zero_t), "bslot": -ones_t,
+        "bconst": (ones_t, ones_t, ones_t),
     }
     for depth in range(0, d_max):
         was_active = ~lstate["term"]
@@ -743,6 +786,7 @@ def frame_kernel(
     # --- estimator 1: path tracing with NEE (BDPTMain:161-167) ---
     n_e1 = d_max if enable_e1 else 0
     e1 = []
+    e1_rows = []  # textured: per-i (dif-linear, specular) raw parts
     for i in range(n_e1):
         seed, u = _next_rand(seed)
         idx = jnp.minimum((u * lcnt_f).astype(jnp.int32), lcnt_i - 1)
@@ -755,11 +799,20 @@ def frame_kernel(
             tri_ref, bounds, n_tris, cam_path[i + 1]["pos"], l3,
             min_t_tiles, dist,
         )
-        direct = _nee_shade_tiles(
+        difp, specp = _nee_shade_tiles_split(
             ~occ, l3, inten3, cam_path[i + 1]["n"], cam_path[i + 1]["v"],
             cam_path[i + 1]["dif"], cam_path[i + 1]["spec"],
             cam_path[i + 1]["rough"], lcnt_f, mat_model,
         )
+        if textured:
+            # raw parts x camera throughput; the texture ratios, 1/(i+2)
+            # scale, clamp and NaN guard are applied post-kernel in the
+            # reference's order (BDPTMain:163-167)
+            cc = cam_path[i]["color"]
+            e1_rows += [c * dp for c, dp in zip(cc, difp)]
+            e1_rows += [c * sp for c, sp in zip(cc, specp)]
+            continue
+        direct = tuple(dp + sp for dp, sp in zip(difp, specp))
         shade = tuple(c * dc for c, dc in zip(cam_path[i]["color"], direct))
         shade = _clamp3(_scale3(shade, 1.0 / (i + 2)), clamp_upper)
         shade = _nan_guard3(shade)
@@ -769,13 +822,8 @@ def frame_kernel(
         out_a = out_a + jnp.where(valid, 1.0, 0.0)
 
     # --- estimator 3: s,t connections (BDPTMain:212-233) ---
-    e3_pairs = []
-    for total_len in range(2, (d_max + 1) if enable_e3 else 0):
-        for sx in range(1, d_max):
-            tx = total_len - sx
-            if tx < 0 or tx > d_max:  # max_possible guard handled by d_max
-                continue
-            e3_pairs.append((total_len, sx, tx))
+    e3_pairs = e3_pair_list(d_max, enable_e3)
+    e3_rows = []  # textured: per-pair raw shade rgb + visibility mask
     for total_len, sx, tx in e3_pairs:
         vec = _sub3(light_path[tx]["pos"], cam_path[sx]["pos"])
         length_ab = jnp.sqrt(jnp.maximum(_dot3(vec, vec), 1e-30))
@@ -816,11 +864,20 @@ def frame_kernel(
                 al * (fl * g * fe) * ae
                 for al, fl, fe, ae in zip(a_l, fs_l, fs_e, a_e)
             )
-            shade = _clamp3(_scale3(shade, 1.0 / float(total_len)), clamp_upper)
-            shade = _nan_guard3(shade)
+            if not textured:
+                shade = _clamp3(
+                    _scale3(shade, 1.0 / float(total_len)), clamp_upper
+                )
+                shade = _nan_guard3(shade)
         else:
             shade = (zero_t, zero_t, zero_t)
         mask = valid & vis
+        if textured:
+            # raw monomial parts; ratio products, 1/totalLength, clamp,
+            # NaN guard and the saturate chain replay post-kernel
+            e3_rows += [shade[0], shade[1], shade[2],
+                        mask.astype(jnp.float32)]
+            continue
         out_r = jnp.where(mask, _saturate(out_r + shade[0]), out_r)
         out_g = jnp.where(mask, _saturate(out_g + shade[1]), out_g)
         out_b = jnp.where(mask, _saturate(out_b + shade[2]), out_b)
@@ -862,8 +919,9 @@ def frame_kernel(
         shade = tuple(
             lc * bc * g for lc, bc in zip(light_path[i]["color"], brdf)
         )
-        shade = _clamp3(_scale3(shade, 1.0 / (i + 2)), clamp_upper)
-        shade = _nan_guard3(shade)
+        if not textured:
+            shade = _clamp3(_scale3(shade, 1.0 / (i + 2)), clamp_upper)
+            shade = _nan_guard3(shade)
         in_range = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
         ok = active2 & in_range
         pix = jnp.where(ok, iy * width + ix, n_pix).astype(jnp.float32)
@@ -874,10 +932,15 @@ def frame_kernel(
         splat_rows.append(ok.astype(jnp.float32))
 
     # background early-out wrote (env, 1) (BDPTMain:62-66)
-    res_r = jnp.where(valid, out_r, dif[0])
-    res_g = jnp.where(valid, out_g, dif[1])
-    res_b = jnp.where(valid, out_b, dif[2])
-    res_a = jnp.where(valid, out_a, 1.0)
+    if textured:
+        # own-pixel accumulation (emissive + est1 + est3 saturate chain +
+        # background fold) replays post-kernel where textures are available
+        res_r = res_g = res_b = res_a = zero_t
+    else:
+        res_r = jnp.where(valid, out_r, dif[0])
+        res_g = jnp.where(valid, out_g, dif[1])
+        res_b = jnp.where(valid, out_b, dif[2])
+        res_a = jnp.where(valid, out_a, 1.0)
 
     rows = [res_r, res_g, res_b, res_a] + splat_rows
     if emit_gbuffer:
@@ -893,6 +956,23 @@ def frame_kernel(
             jnp.where(valid, sd["ior"], 0.0),
             emis[0], emis[1], emis[2],
         ]
+    if textured:
+        neg1 = jnp.full(shape, -1.0, jnp.float32)
+        for k in range(1, d_max + 1):
+            vtx = cam_path[k]
+            rows += [
+                vtx["uv"][0], vtx["uv"][1], vtx["bslot"], vtx["is_spec"],
+                vtx["bconst"][0], vtx["bconst"][1], vtx["bconst"][2],
+            ]
+        for k in range(1, d_max + 1):
+            vtx = light_path[k]
+            rows += [
+                vtx["uv"][0], vtx["uv"][1], vtx["bslot"], vtx["is_spec"],
+                vtx["bconst"][0], vtx["bconst"][1], vtx["bconst"][2],
+            ]
+        rows.append(jnp.where(valid, tr["em_tex"], neg1))
+        rows += e1_rows
+        rows += e3_rows
     for k, r in enumerate(rows):
         out_ref[k] = r
 
@@ -901,25 +981,49 @@ def frame_kernel(
 N_GBUF_ROWS = 20
 
 
-def out_rows(d_max: int, enable_e2: bool, emit_gbuffer: bool) -> int:
-    return 4 + (5 * d_max if enable_e2 else 0) + (N_GBUF_ROWS if emit_gbuffer else 0)
+def e3_pair_list(d_max: int, enable_e3: bool):
+    """The (totalLength, s, t) connection pairs in BDPTMain.rt.hlsl:212-233
+    loop order (shared by the kernel and the deferred-texture replay)."""
+    pairs = []
+    for total_len in range(2, (d_max + 1) if enable_e3 else 0):
+        for sx in range(1, d_max):
+            tx = total_len - sx
+            if tx < 0 or tx > d_max:  # max_possible guard handled by d_max
+                continue
+            pairs.append((total_len, sx, tx))
+    return tuple(pairs)
+
+
+def out_rows(d_max: int, enable_e2: bool, emit_gbuffer: bool,
+             textured: bool = False, enable_e1: bool = True,
+             enable_e3: bool = True) -> int:
+    r = 4 + (5 * d_max if enable_e2 else 0) + (
+        N_GBUF_ROWS if emit_gbuffer else 0
+    )
+    if textured:
+        r += 14 * d_max + 1                      # vertex records + em slot
+        r += 6 * (d_max if enable_e1 else 0)     # est1 (dif, spec) parts
+        r += 4 * len(e3_pair_list(d_max, enable_e3))   # est3 shade + mask
+    return r
 
 
 @functools.partial(jax.jit, static_argnames=(
     "bounds", "n_tris", "l_pad", "width", "height", "sub_pixels", "d_max",
     "mat_model", "faithful_rng", "reference_quirks", "min_t", "clamp_upper",
     "enable_e1", "enable_e2", "enable_e3", "emit_gbuffer", "use_thin_lens",
-    "interpret",
+    "textured", "interpret",
 ))
 def _launch_frame(
     scal, iscal, light_rows, ndc, tri_pack,
     bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
-    enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens, interpret,
+    enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens, textured,
+    interpret,
 ):
     n_pad = ((sub_pixels + S * LANE - 1) // (S * LANE)) * (S * LANE)
     n_cols = n_pad // LANE
-    r_out = out_rows(d_max, enable_e2, emit_gbuffer)
+    r_out = out_rows(d_max, enable_e2, emit_gbuffer, textured, enable_e1,
+                     enable_e3)
     kernel = functools.partial(
         frame_kernel,
         bounds=bounds, n_tris=n_tris, l_pad=l_pad, width=width, height=height,
@@ -928,7 +1032,7 @@ def _launch_frame(
         reference_quirks=reference_quirks, min_t=min_t,
         clamp_upper=clamp_upper, enable_e1=enable_e1, enable_e2=enable_e2,
         enable_e3=enable_e3, emit_gbuffer=emit_gbuffer,
-        use_thin_lens=use_thin_lens,
+        use_thin_lens=use_thin_lens, textured=textured,
     )
     return pl.pallas_call(
         kernel,
@@ -946,6 +1050,13 @@ def _launch_frame(
         out_specs=pl.BlockSpec((r_out, S, LANE), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r_out, n_cols, LANE), jnp.float32),
+        # the textured variant keeps ~77 extra [8,128] rows (vertex records
+        # + raw estimator parts) live to the final writes; Mosaic's DEFAULT
+        # scoped-vmem stack limit is 16 MB (v5e physical VMEM is far
+        # larger), and the textured kernel needs ~19 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(scal, iscal, light_rows, ndc, tri_pack)
 
@@ -963,16 +1074,151 @@ def _base_ndc_rows_np(width: int, height: int):
 
 
 def supports_megakernel(baked, cfg, max_tris: int = 2048) -> bool:
-    """Static gate: TPU path scope (see module docstring)."""
+    """Static gate: TPU path scope (see module docstring).
+
+    Textured scenes qualify through DEFERRED texturing when only the
+    base-color (and emissive) kinds are textured (BakedScene.tex_defer_ok,
+    scene.Scene.bake): the kernel shades with per-material mean albedos and
+    the texel/mean ratios multiply into each estimator term post-kernel —
+    exact for every dif-linear factor because evalBRDF dispatches on the
+    sampled lobe (MaterialUtils.hlsli:102-110).  Known estimator deviation:
+    probabilityToSampleDiffuse (MaterialUtils.hlsli:22-27) sees the mean
+    rather than the texel albedo (same expectation; see BDPTConfig
+    .defer_textures)."""
     data = baked.data
+    untextured = tuple(data.textures.data.shape[:2]) == (1, 1)  # dummy atlas
+    tex_ok = untextured or (
+        cfg.bdpt.defer_textures
+        and getattr(baked, "tex_defer_ok", False)
+        # the deferred row budget grows ~O(d^2); stay in the measured range
+        and cfg.bdpt.max_depth <= 4
+    )
     return (
         int(baked.tris.v0.shape[0]) <= max_tris
         and tuple(data.env_map.shape[:2]) == (1, 1)
-        and tuple(data.textures.data.shape[:2]) == (1, 1)  # dummy atlas
+        and tex_ok
         and not getattr(baked, "has_alpha", False)
         and cfg.bdpt.connection_weight == "uniform"
         and cfg.bdpt.max_depth >= 1
     )
+
+
+def _textured_replay(out, n_sub, n_pix, bcfg, atlas, width):
+    """Post-kernel deferred-texture replay (see frame_kernel textured rows).
+
+    Applies per-vertex texel/mean base-color ratios to the kernel's raw
+    estimator parts and replays the own-pixel accumulation exactly in the
+    reference's order (emissive add -> est1 adds -> est3 saturate chain ->
+    background fold, BDPTMain.rt.hlsl:155-233).  Returns (res4 [n_sub, 4],
+    splats [(lin, rgb, alpha)] per light-tracing depth, dif_ratio1
+    [n_sub, 3], em3 [n_sub, 3]) — the last two fix the G-buffer channels'
+    MaterialDiffuse/Emissive to their texture-sampled values."""
+    from ..ops.texture import sample_or_constant
+
+    d_max = bcfg.max_depth
+    n_e1 = d_max if bcfg.enable_path_tracing else 0
+    n_e2 = d_max if bcfg.enable_light_tracing else 0
+    pairs = e3_pair_list(d_max, bcfg.enable_connections)
+    flat = out.reshape(out.shape[0], -1)[:, :n_sub]
+
+    def row(k):
+        return flat[k]
+
+    def row3(k):
+        return flat[k:k + 3].T
+
+    gb = 4 + 5 * n_e2
+    xt = gb + N_GBUF_ROWS
+    valid = row(gb + 3) > 0.0
+    dif_env = row3(gb + 8)
+    emis_const = row3(gb + 17)
+
+    ones3 = jnp.ones((n_sub, 3), jnp.float32)
+
+    def vertex(base):
+        uv = flat[base:base + 2].T
+        slot = row(base + 2).astype(jnp.int32)
+        lobe = row(base + 3)
+        bconst = row3(base + 4)
+        tap = sample_or_constant(
+            atlas, slot, uv, jnp.ones((n_sub, 4), jnp.float32),
+            static_used=atlas.any_base,
+        )
+        ratio = jnp.where(
+            (slot >= 0)[:, None],
+            tap[:, :3] / jnp.maximum(bconst, 1e-6), ones3,
+        )
+        rhat = jnp.where((lobe > 0.5)[:, None], ones3, ratio)
+        return uv, slot, ratio, rhat
+
+    cam = [vertex(xt + 7 * (k - 1)) for k in range(1, d_max + 1)]
+    lig = [vertex(xt + 7 * d_max + 7 * (k - 1)) for k in range(1, d_max + 1)]
+    r_c = [ones3]
+    for _, _, _, rhat in cam:
+        r_c.append(r_c[-1] * rhat)
+    r_l = [ones3]
+    for _, _, _, rhat in lig:
+        r_l.append(r_l[-1] * rhat)
+
+    em_slot = row(xt + 14 * d_max).astype(jnp.int32)
+    uv1 = cam[0][0]
+    em3 = sample_or_constant(
+        atlas, em_slot, uv1,
+        jnp.concatenate([emis_const, jnp.ones((n_sub, 1), jnp.float32)], -1),
+        static_used=atlas.any_emissive,
+    )[:, :3]
+
+    def guard(c):
+        bad = jnp.isnan(c).any(axis=-1, keepdims=True)
+        return jnp.where(bad, 0.0, c)
+
+    out_rgb = jnp.zeros((n_sub, 3), jnp.float32)
+    out_a = jnp.zeros((n_sub,), jnp.float32)
+    has_em = (em3 > 0.0).any(axis=-1)
+    out_rgb = out_rgb + jnp.where((valid & has_em)[:, None], em3, 0.0)
+
+    e1_base = xt + 14 * d_max + 1
+    for i in range(n_e1):
+        difp = row3(e1_base + 6 * i)
+        specp = row3(e1_base + 6 * i + 3)
+        full = r_c[i] * (difp * cam[i][2] + specp)
+        full = guard(jnp.clip(full / (i + 2), 0.0, bcfg.clamp_upper))
+        out_rgb = out_rgb + jnp.where(valid[:, None], full, 0.0)
+        out_a = out_a + jnp.where(valid, 1.0, 0.0)
+
+    e3_base = e1_base + 6 * n_e1
+    for p, (total_len, sx, tx) in enumerate(pairs):
+        shade = row3(e3_base + 4 * p)
+        mask = row(e3_base + 4 * p + 3) > 0.5
+        if tx >= 1:
+            a_l_ratio = r_l[sx - 1] if bcfg.reference_quirks else r_l[tx - 1]
+            full = shade * r_c[sx - 1] * cam[sx - 1][3] * lig[tx - 1][3] \
+                * a_l_ratio
+            full = guard(
+                jnp.clip(full / float(total_len), 0.0, bcfg.clamp_upper)
+            )
+        else:
+            full = jnp.zeros((n_sub, 3), jnp.float32)
+        out_rgb = jnp.where(
+            mask[:, None], jnp.clip(out_rgb + full, 0.0, 1.0), out_rgb
+        )
+        out_a = jnp.where(mask, jnp.clip(out_a + 1.0, 0.0, 1.0), out_a)
+
+    res_rgb = jnp.where(valid[:, None], out_rgb, dif_env)
+    res_a = jnp.where(valid, out_a, 1.0)
+    res4 = jnp.concatenate([res_rgb, res_a[:, None]], -1)
+
+    splats = []
+    for i in range(n_e2):
+        base = 4 + 5 * i
+        lin = row(base).astype(jnp.int32)
+        raw = row3(base + 1)
+        ok = row(base + 4) > 0.5
+        full = raw * r_l[i] * lig[i][3]
+        full = guard(jnp.clip(full / (i + 2), 0.0, bcfg.clamp_upper))
+        splats.append((lin, jnp.where(ok[:, None], full, 0.0), row(base + 4)))
+
+    return res4, splats, cam[0][2], em3
 
 
 def render_frame_megakernel(
@@ -1001,6 +1247,7 @@ def render_frame_megakernel(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     data = baked.data
+    textured = tuple(data.textures.data.shape[:2]) != (1, 1)
     cam = data.camera
     lights = data.lights
     bcfg = cfg.bdpt
@@ -1065,32 +1312,46 @@ def render_frame_megakernel(
         bcfg.mat_model, bcfg.faithful_rng, bcfg.reference_quirks,
         float(bcfg.min_t), float(bcfg.clamp_upper),
         bcfg.enable_path_tracing, bcfg.enable_light_tracing,
-        bcfg.enable_connections, True, use_thin_lens, interpret,
+        bcfg.enable_connections, True, use_thin_lens, textured, interpret,
     )
 
     def img(row0, n=4):
         flat = out[row0:row0 + n].reshape(n, -1)[:, :n_sub]
         return flat.T.reshape(sub_h, width, n)
 
-    result = img(0)
+    tex_splats = dif_ratio1 = em3 = None
+    if textured:
+        res4, tex_splats, dif_ratio1, em3 = _textured_replay(
+            out, n_sub, n_pix, bcfg, data.textures, width
+        )
+        result = res4.reshape(sub_h, width, 4)
+    else:
+        result = img(0)
 
     # splats: host-side scatter in the reference's depth order
     if bcfg.enable_light_tracing:
-        lin_all, r_all, g_all, b_all, a_all = [], [], [], [], []
-        for i in range(d_max):
-            base = 4 + 5 * i
-            rows = out[base:base + 5].reshape(5, -1)[:, :n_sub]
-            lin_all.append(rows[0].astype(jnp.int32).reshape(-1))
-            r_all.append(rows[1])
-            g_all.append(rows[2])
-            b_all.append(rows[3])
-            a_all.append(rows[4])
-        lin = jnp.concatenate(lin_all)
-        rgb = jnp.stack([
-            jnp.concatenate(r_all), jnp.concatenate(g_all),
-            jnp.concatenate(b_all),
-        ], -1)
-        a = jnp.concatenate(a_all)
+        if textured:
+            lin = jnp.concatenate(
+                [s[0].reshape(-1) for s in tex_splats]
+            )
+            rgb = jnp.concatenate([s[1] for s in tex_splats], 0)
+            a = jnp.concatenate([s[2] for s in tex_splats])
+        else:
+            lin_all, r_all, g_all, b_all, a_all = [], [], [], [], []
+            for i in range(d_max):
+                base = 4 + 5 * i
+                rows = out[base:base + 5].reshape(5, -1)[:, :n_sub]
+                lin_all.append(rows[0].astype(jnp.int32).reshape(-1))
+                r_all.append(rows[1])
+                g_all.append(rows[2])
+                b_all.append(rows[3])
+                a_all.append(rows[4])
+            lin = jnp.concatenate(lin_all)
+            rgb = jnp.stack([
+                jnp.concatenate(r_all), jnp.concatenate(g_all),
+                jnp.concatenate(b_all),
+            ], -1)
+            a = jnp.concatenate(a_all)
         splat_flat = splat_mod.scatter_add_rgba(
             bcfg.splat_mode, lin, rgb, a, n_pix, alpha_is_count=True
         )
@@ -1113,16 +1374,26 @@ def render_frame_megakernel(
 
     gb = 4 + (5 * d_max if bcfg.enable_light_tracing else 0)
     gbuf = img(gb, N_GBUF_ROWS)
+    mat_dif = gbuf[..., 8:12]
+    emis3 = gbuf[..., 17:20]
+    if textured:
+        # the kernel shaded with mean albedos; restore the texel values the
+        # G-buffer channels carry (lightProbeGBuffer.rt.hlsl:110-116)
+        mat_dif = jnp.concatenate([
+            gbuf[..., 8:11] * dif_ratio1.reshape(sub_h, width, 3),
+            gbuf[..., 11:12],
+        ], -1)
+        emis3 = em3.reshape(sub_h, width, 3)
     channels = {
         "WorldPosition": gbuf[..., 0:4],
         "WorldNormal": gbuf[..., 4:8],
-        "MaterialDiffuse": gbuf[..., 8:12],
+        "MaterialDiffuse": mat_dif,
         "MaterialSpecRough": gbuf[..., 12:16],
         "MaterialExtraParams": jnp.concatenate(
             [gbuf[..., 16:17], jnp.zeros((sub_h, width, 3), jnp.float32)], -1
         ),
         "Emissive": jnp.concatenate(
-            [gbuf[..., 17:20], jnp.zeros((sub_h, width, 1), jnp.float32)], -1
+            [emis3, jnp.zeros((sub_h, width, 1), jnp.float32)], -1
         ),
         "BDPT": frame_img,
     }

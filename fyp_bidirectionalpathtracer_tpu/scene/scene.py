@@ -24,6 +24,7 @@ from .types import (
     BVHArrays,
     GeometryArrays,
     MaterialArray,
+    SHADING_METAL_ROUGH,
     SceneData,
     TextureAtlas,
 )
@@ -216,6 +217,19 @@ class Scene:
             em_tex[i] = add_image(md.emissive_image)
             nm_tex[i] = add_image(getattr(md, "normal_map_image", None))
 
+        # Deferred-texture denominators: a textured material's base constant
+        # is unused by the direct-sampling paths (ops.shading._tap_kinds
+        # selects the texture), so bake the texture MEAN into it — the
+        # megakernel then shades with the mean albedo (lobe selection sees a
+        # representative color) and the post-kernel texel/mean ratios stay
+        # O(1) (accel.pallas_frame._textured_replay).  Floored at 1e-3 so
+        # the ratio denominator can't blow up.
+        for i in range(m_count):
+            if bc_tex[i] >= 0:
+                base_color[i, :3] = np.maximum(
+                    images[bc_tex[i]][:, :, :3].mean(axis=(0, 1)), 1e-3
+                )
+
         if images:
             data = np.stack(images)
             rx = np.roll(data, -1, axis=2)
@@ -311,10 +325,34 @@ class Scene:
         )
         from ..ops.alpha import has_alpha_materials
 
+        # Static gate for the deferred-texture megakernel
+        # (accel.pallas_frame): every estimator term is a monomial in the
+        # per-vertex DIFFUSE albedo (evalBRDF dispatches on the sampled lobe,
+        # MaterialUtils.hlsli:102-110), so base-color textures can be applied
+        # AFTER the kernel — but only when nothing NON-linear is textured:
+        # no specular maps (Fresnel/roughness), no normal maps, and no
+        # metal-rough material whose metalness (specular.b) mixes the base
+        # texture into the specular color (HostDeviceSharedCode.h:119-135
+        # decode).  Emissive maps are fine (additive at the primary vertex
+        # only, BDPTMain.rt.hlsl:155-158).
+        bc_textured = bc_tex >= 0
+        metal_mix = (
+            bc_textured
+            & (shading_model == SHADING_METAL_ROUGH)
+            & (specular[:, 2] > 0.0)
+        )
+        tex_defer_ok = bool(
+            bc_textured.any()
+            and not (sp_tex >= 0).any()
+            and not (nm_tex >= 0).any()
+            and not metal_mix.any()
+        )
+
         baked = BakedScene(
             data=data, tris=tris,
             has_alpha=has_alpha_materials(materials, atlas),
             has_normal_maps=bool((nm_tex >= 0).any()),
+            tex_defer_ok=tex_defer_ok,
         )
         object.__setattr__(baked, "host", self)
         return baked
@@ -335,6 +373,9 @@ class BakedScene:
     # static: does any material carry a normal map?  Gates the G-buffer's
     # normal-mapping step (Shading.slang:135-157, primary hits only).
     has_normal_maps: bool = struct.field(pytree_node=False, default=False)
+    # static: base-color-only texturing — the scene qualifies for the
+    # deferred-texture megakernel (see bake() for the exact condition).
+    tex_defer_ok: bool = struct.field(pytree_node=False, default=False)
 
     def intersector(self, brute_threshold: int = 512):
         intersect = make_intersector(
@@ -351,6 +392,7 @@ class BakedScene:
         out = BakedScene(
             data=self.data.replace(camera=cam), tris=self.tris,
             has_alpha=self.has_alpha, has_normal_maps=self.has_normal_maps,
+            tex_defer_ok=self.tex_defer_ok,
         )
         object.__setattr__(out, "host", getattr(self, "host", None))
         return out

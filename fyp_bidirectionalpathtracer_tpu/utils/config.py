@@ -47,6 +47,15 @@ class BDPTConfig:
     # weights), 'on' forces it (interpret mode off-TPU; tests), 'off' always
     # uses the per-bounce wavefront.
     megakernel: str = "auto"
+    # deferred texturing: let base-color(+emissive)-textured scenes use the
+    # whole-frame megakernel — the kernel shades with each material's MEAN
+    # texture color and the texture/mean ratio is applied per estimator term
+    # after the kernel (every term is monomial in per-vertex diffuse albedo;
+    # see accel.pallas_frame).  Estimator deviation vs the reference: lobe
+    # -selection probabilities (probabilityToSampleDiffuse,
+    # MaterialUtils.hlsli:22-27) use the mean rather than the texel albedo —
+    # same expectation, different (usually lower) variance weighting.
+    defer_textures: bool = True
     # Morton-sort bounce wavefronts before the cluster-tier closest trace
     # (ops.raysort): BRDF-sampled extension rays have coherent origins but
     # scattered directions, which defeats the [8,128]-tile AABB culling of
