@@ -46,7 +46,7 @@ def main(width=1280, height=720, depth=3, warmup=2, iters=5):
     )
 
     cfg = RenderConfig(width=width, height=height,
-                       bdpt=BDPTConfig(max_depth=depth))
+                       bdpt=BDPTConfig(max_depth=depth, defer_textures=True))
     baked = Scene.from_built(textured_room(), aspect=width / height).bake()
     assert pf.supports_megakernel(baked, cfg)
     atlas = baked.data.textures

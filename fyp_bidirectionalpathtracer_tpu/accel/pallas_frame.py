@@ -1112,8 +1112,15 @@ def _textured_replay(out, n_sub, n_pix, bcfg, atlas, width):
     background fold, BDPTMain.rt.hlsl:155-233).  Returns (res4 [n_sub, 4],
     splats [(lin, rgb, alpha)] per light-tracing depth, dif_ratio1
     [n_sub, 3], em3 [n_sub, 3]) — the last two fix the G-buffer channels'
-    MaterialDiffuse/Emissive to their texture-sampled values."""
-    from ..ops.texture import sample_or_constant
+    MaterialDiffuse/Emissive to their texture-sampled values.
+
+    Layout: ALL interior math is FIELD-MAJOR ([3, N] / [N] lane vectors) —
+    the row-major [N, 3] form pads 3 channels to 128 lanes per elementwise
+    op and cost 230 ms/frame standalone on the 342-tri room at 720p
+    (benchmarks/replay_micro.py); transposes happen once at the return
+    boundary only.
+    """
+    from ..ops.texture import sample_or_constant_fm
 
     d_max = bcfg.max_depth
     n_e1 = d_max if bcfg.enable_path_tracing else 0
@@ -1125,7 +1132,7 @@ def _textured_replay(out, n_sub, n_pix, bcfg, atlas, width):
         return flat[k]
 
     def row3(k):
-        return flat[k:k + 3].T
+        return flat[k:k + 3]  # [3, N] field-major
 
     gb = 4 + 5 * n_e2
     xt = gb + N_GBUF_ROWS
@@ -1133,49 +1140,49 @@ def _textured_replay(out, n_sub, n_pix, bcfg, atlas, width):
     dif_env = row3(gb + 8)
     emis_const = row3(gb + 17)
 
-    ones3 = jnp.ones((n_sub, 3), jnp.float32)
-
     def vertex(base):
-        uv = flat[base:base + 2].T
+        u = row(base)
+        v = row(base + 1)
         slot = row(base + 2).astype(jnp.int32)
         lobe = row(base + 3)
         bconst = row3(base + 4)
-        tap = sample_or_constant(
-            atlas, slot, uv, jnp.ones((n_sub, 4), jnp.float32),
+        tap = sample_or_constant_fm(
+            atlas, slot, u, v, jnp.ones((4, n_sub), jnp.float32),
             static_used=atlas.any_base,
         )
+        # [N] masks broadcast against [3, N] without reshapes
         ratio = jnp.where(
-            (slot >= 0)[:, None],
-            tap[:, :3] / jnp.maximum(bconst, 1e-6), ones3,
+            slot >= 0, tap[:3] / jnp.maximum(bconst, 1e-6), 1.0
         )
-        rhat = jnp.where((lobe > 0.5)[:, None], ones3, ratio)
-        return uv, slot, ratio, rhat
+        rhat = jnp.where(lobe > 0.5, 1.0, ratio)
+        return (u, v), slot, ratio, rhat
 
     cam = [vertex(xt + 7 * (k - 1)) for k in range(1, d_max + 1)]
     lig = [vertex(xt + 7 * d_max + 7 * (k - 1)) for k in range(1, d_max + 1)]
-    r_c = [ones3]
+    one = jnp.float32(1.0)
+    r_c = [one]
     for _, _, _, rhat in cam:
         r_c.append(r_c[-1] * rhat)
-    r_l = [ones3]
+    r_l = [one]
     for _, _, _, rhat in lig:
         r_l.append(r_l[-1] * rhat)
 
     em_slot = row(xt + 14 * d_max).astype(jnp.int32)
-    uv1 = cam[0][0]
-    em3 = sample_or_constant(
-        atlas, em_slot, uv1,
-        jnp.concatenate([emis_const, jnp.ones((n_sub, 1), jnp.float32)], -1),
+    u1, v1 = cam[0][0]
+    em3 = sample_or_constant_fm(
+        atlas, em_slot, u1, v1,
+        jnp.concatenate([emis_const, jnp.ones((1, n_sub), jnp.float32)], 0),
         static_used=atlas.any_emissive,
-    )[:, :3]
+    )[:3]
 
     def guard(c):
-        bad = jnp.isnan(c).any(axis=-1, keepdims=True)
+        bad = jnp.isnan(c).any(axis=0, keepdims=True)
         return jnp.where(bad, 0.0, c)
 
-    out_rgb = jnp.zeros((n_sub, 3), jnp.float32)
+    out_rgb = jnp.zeros((3, n_sub), jnp.float32)
     out_a = jnp.zeros((n_sub,), jnp.float32)
-    has_em = (em3 > 0.0).any(axis=-1)
-    out_rgb = out_rgb + jnp.where((valid & has_em)[:, None], em3, 0.0)
+    has_em = (em3 > 0.0).any(axis=0)
+    out_rgb = out_rgb + jnp.where(valid & has_em, em3, 0.0)
 
     e1_base = xt + 14 * d_max + 1
     for i in range(n_e1):
@@ -1183,7 +1190,7 @@ def _textured_replay(out, n_sub, n_pix, bcfg, atlas, width):
         specp = row3(e1_base + 6 * i + 3)
         full = r_c[i] * (difp * cam[i][2] + specp)
         full = guard(jnp.clip(full / (i + 2), 0.0, bcfg.clamp_upper))
-        out_rgb = out_rgb + jnp.where(valid[:, None], full, 0.0)
+        out_rgb = out_rgb + jnp.where(valid, full, 0.0)
         out_a = out_a + jnp.where(valid, 1.0, 0.0)
 
     e3_base = e1_base + 6 * n_e1
@@ -1198,15 +1205,15 @@ def _textured_replay(out, n_sub, n_pix, bcfg, atlas, width):
                 jnp.clip(full / float(total_len), 0.0, bcfg.clamp_upper)
             )
         else:
-            full = jnp.zeros((n_sub, 3), jnp.float32)
+            full = jnp.zeros((3, n_sub), jnp.float32)
         out_rgb = jnp.where(
-            mask[:, None], jnp.clip(out_rgb + full, 0.0, 1.0), out_rgb
+            mask, jnp.clip(out_rgb + full, 0.0, 1.0), out_rgb
         )
         out_a = jnp.where(mask, jnp.clip(out_a + 1.0, 0.0, 1.0), out_a)
 
-    res_rgb = jnp.where(valid[:, None], out_rgb, dif_env)
+    res_rgb = jnp.where(valid, out_rgb, dif_env)
     res_a = jnp.where(valid, out_a, 1.0)
-    res4 = jnp.concatenate([res_rgb, res_a[:, None]], -1)
+    res4 = jnp.concatenate([res_rgb, res_a[None]], 0).T
 
     splats = []
     for i in range(n_e2):
@@ -1216,34 +1223,22 @@ def _textured_replay(out, n_sub, n_pix, bcfg, atlas, width):
         ok = row(base + 4) > 0.5
         full = raw * r_l[i] * lig[i][3]
         full = guard(jnp.clip(full / (i + 2), 0.0, bcfg.clamp_upper))
-        splats.append((lin, jnp.where(ok[:, None], full, 0.0), row(base + 4)))
+        splats.append((lin, jnp.where(ok, full, 0.0).T, row(base + 4)))
 
-    return res4, splats, cam[0][2], em3
+    return res4, splats, cam[0][2].T, em3.T
 
 
-def render_frame_megakernel(
+def _frame_out(
     baked, width: int, height: int, bdpt_frame, pixel_jitter, cfg,
     tri_pack=None, interpret: bool | None = None,
     sub_height: int | None = None, pixel_offset=None, ndc_rows=None,
-    axis_name: str | None = None, gbuf_frame=0,
+    gbuf_frame=0,
 ):
-    """Run the megakernel; returns (channels dict, frame_img [H,W,4]).
-
-    Replicates gbuffer.ray_traced_gbuffer + passes.bdpt.bdpt_pass for the
-    supported scope; the estimator-2 splats are scatter-added host-side in
-    the same order as passes.bdpt.
-
-    Sharded use (inside shard_map over a row mesh): pass `sub_height` (rows
-    this shard renders), `pixel_offset` (global linear index of this
-    shard's first pixel — feeds the per-pixel RNG so shards reproduce the
-    single-chip sequences), `ndc_rows` (this shard's slice of the base NDC
-    rows), and `axis_name`.  Light-tracing splats land on *global* pixel
-    ids; with `axis_name` the splat image is psum-reduced over the mesh
-    (the one cross-chip collective — SURVEY.md §2.5) and this shard's rows
-    are sliced back out.
-    """
-    from ..ops import splat as splat_mod
-
+    """Kernel-output stage of render_frame_megakernel: all host-side arg
+    packing plus the one pallas_call.  Split out so benchmarks can time the
+    raw field-row output and the deferred-texture replay separately
+    (benchmarks/replay_micro.py).  Returns
+    (out [rows, ...], n_sub, n_pix, sub_h, textured, pix0)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     data = baked.data
@@ -1253,8 +1248,6 @@ def render_frame_megakernel(
     bcfg = cfg.bdpt
     d_max = bcfg.max_depth
     sub_h = height if sub_height is None else sub_height
-    if axis_name is None and sub_h != height:
-        raise ValueError("sub_height without axis_name is unsupported")
     n_sub = sub_h * width
     n_pix = width * height
 
@@ -1313,6 +1306,43 @@ def render_frame_megakernel(
         float(bcfg.min_t), float(bcfg.clamp_upper),
         bcfg.enable_path_tracing, bcfg.enable_light_tracing,
         bcfg.enable_connections, True, use_thin_lens, textured, interpret,
+    )
+    return out, n_sub, n_pix, sub_h, textured, pix0
+
+
+def render_frame_megakernel(
+    baked, width: int, height: int, bdpt_frame, pixel_jitter, cfg,
+    tri_pack=None, interpret: bool | None = None,
+    sub_height: int | None = None, pixel_offset=None, ndc_rows=None,
+    axis_name: str | None = None, gbuf_frame=0,
+):
+    """Run the megakernel; returns (channels dict, frame_img [H,W,4]).
+
+    Replicates gbuffer.ray_traced_gbuffer + passes.bdpt.bdpt_pass for the
+    supported scope; the estimator-2 splats are scatter-added host-side in
+    the same order as passes.bdpt.
+
+    Sharded use (inside shard_map over a row mesh): pass `sub_height` (rows
+    this shard renders), `pixel_offset` (global linear index of this
+    shard's first pixel — feeds the per-pixel RNG so shards reproduce the
+    single-chip sequences), `ndc_rows` (this shard's slice of the base NDC
+    rows), and `axis_name`.  Light-tracing splats land on *global* pixel
+    ids; with `axis_name` the splat image is psum-reduced over the mesh
+    (the one cross-chip collective — SURVEY.md §2.5) and this shard's rows
+    are sliced back out.
+    """
+    from ..ops import splat as splat_mod
+
+    data = baked.data
+    bcfg = cfg.bdpt
+    d_max = bcfg.max_depth
+    if axis_name is None and (sub_height is not None
+                              and sub_height != height):
+        raise ValueError("sub_height without axis_name is unsupported")
+    out, n_sub, n_pix, sub_h, textured, pix0 = _frame_out(
+        baked, width, height, bdpt_frame, pixel_jitter, cfg,
+        tri_pack=tri_pack, interpret=interpret, sub_height=sub_height,
+        pixel_offset=pixel_offset, ndc_rows=ndc_rows, gbuf_frame=gbuf_frame,
     )
 
     def img(row0, n=4):

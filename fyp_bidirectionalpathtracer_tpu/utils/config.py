@@ -55,7 +55,13 @@ class BDPTConfig:
     # -selection probabilities (probabilityToSampleDiffuse,
     # MaterialUtils.hlsli:22-27) use the mean rather than the texel albedo —
     # same expectation, different (usually lower) variance weighting.
-    defer_textures: bool = True
+    # Default OFF: measured net-negative on v5e at 720p d=3 (342-tri room:
+    # deferred 270 ms vs wavefront 162 — benchmarks/replay_inframe_micro.py).
+    # The replay's ratio math is ~4 ms (field-major), but its 7 per-vertex
+    # texture taps pay the in-frame gather tier (~24 ms per 1M indices from
+    # an argument-resident atlas) = ~155 ms/frame, more than the whole
+    # wavefront.  Re-default if taps drop below ~8 ms/1M.
+    defer_textures: bool = False
     # Morton-sort bounce wavefronts before the cluster-tier closest trace
     # (ops.raysort): BRDF-sampled extension rays have coherent origins but
     # scattered directions, which defeats the [8,128]-tile AABB culling of

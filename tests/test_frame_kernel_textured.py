@@ -19,6 +19,8 @@ Hence: a UNIFORM texture (texel == mean) must match at the untextured tie
 rate, and real textures must match in radiance statistics + tight bounds on
 large per-pixel deviations.
 """
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -43,6 +45,8 @@ def room():
 
 
 def _run_both(baked, bcfg: BDPTConfig):
+    # deferred texturing is opt-in (default off on perf grounds; config.py)
+    bcfg = dataclasses.replace(bcfg, defer_textures=True)
     cfg = RenderConfig(width=W, height=H, bdpt=bcfg)
     assert supports_megakernel(baked, cfg)
     frame = jnp.uint32(0x1337)
@@ -63,12 +67,12 @@ def _run_both(baked, bcfg: BDPTConfig):
 def test_scene_qualifies(room):
     """textured_room is base-color-only -> deferred texturing applies."""
     assert room.tex_defer_ok
-    assert supports_megakernel(room, RenderConfig(width=W, height=H))
-    # but NOT when deferral is off
-    cfg = RenderConfig(
-        width=W, height=H, bdpt=BDPTConfig(defer_textures=False)
+    cfg_on = RenderConfig(
+        width=W, height=H, bdpt=BDPTConfig(defer_textures=True)
     )
-    assert not supports_megakernel(room, cfg)
+    assert supports_megakernel(room, cfg_on)
+    # but NOT when deferral is off (the default — perf grounds, config.py)
+    assert not supports_megakernel(room, RenderConfig(width=W, height=H))
 
 
 def test_textured_megakernel_matches_wavefront(room):
