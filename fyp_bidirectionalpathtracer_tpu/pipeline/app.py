@@ -159,9 +159,15 @@ def main(argv=None) -> dict:
         if args.animate:
             renderer.animate(args.fixedtimedelta)
         t0 = time.perf_counter()
-        with prof.event("frame"):
+        if args.profile:
+            out = renderer.render_frame_profiled(prof)
+        else:
             out = renderer.render_frame()
-            out.block_until_ready()
+        # block_until_ready is a no-op on the tunneled TPU platform; the
+        # only honest frame-time sync is a device->host scalar readback
+        from ..utils.profiler import _force
+
+        _force(out)
         results["frame_times"].append(time.perf_counter() - t0)
         if (f + 1) in ss_frames:
             path = os.path.join(args.outputdir, f"frame_{f + 1:05d}.png")

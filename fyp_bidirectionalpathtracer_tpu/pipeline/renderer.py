@@ -207,6 +207,123 @@ class Renderer:
         self.camera = begin_frame(self.camera)
         return self.channels["PipelineOutput"]
 
+    def render_frame_profiled(self, prof):
+        """One frame with per-pass Profiler events (the RenderingPipeline
+        ProfilerEvent-per-pass analogue, RenderingPipeline.cpp:666-682).
+
+        The production frame is ONE fused jit (render_frame_fn), so per-pass
+        attribution requires running the stages as separate jitted calls
+        with an honest device sync (scalar readback — see utils.profiler)
+        after each.  Stage boundaries prevent some cross-pass fusion, so the
+        per-pass sum usually runs a little above the fused frame time; it is
+        an attribution estimate, exactly like the reference's per-pass GPU
+        timestamp scraping (extractProfilingData).
+        """
+        cfg = self.cfg
+        if not hasattr(self, "_stage_fns"):
+            from ..accel.pallas_frame import render_frame_megakernel, supports_megakernel
+            from ..ops.shading import make_shaded_tracer
+
+            use_mk = (
+                cfg.bdpt.megakernel != "off"
+                and supports_megakernel(self.baked, cfg)
+                and (cfg.bdpt.megakernel == "on" or jax.default_backend() == "tpu")
+            )
+
+            def mk_stage(baked, camera, gbuf_frame, bdpt_frame):
+                scene = baked.with_camera(camera)
+                jitter = gbuffer_mod.pixel_jitter_for_frame(
+                    bdpt_frame, cfg.gbuffer.jitter_mode)
+                return render_frame_megakernel(
+                    scene, cfg.width, cfg.height, bdpt_frame, jitter, cfg,
+                    interpret=None if cfg.bdpt.megakernel == "auto"
+                    else jax.default_backend() != "tpu",
+                    gbuf_frame=gbuf_frame,
+                )
+
+            def gbuf_stage(baked, camera, gbuf_frame, bdpt_frame):
+                scene = baked.with_camera(camera)
+                jitter = gbuffer_mod.pixel_jitter_for_frame(
+                    bdpt_frame, cfg.gbuffer.jitter_mode)
+                trace = make_shaded_tracer(
+                    scene, sort_divergent=cfg.bdpt.sort_bounces)
+                lens_radius = (
+                    cfg.gbuffer.focal_length_gui / (2.0 * cfg.gbuffer.f_stop)
+                    if cfg.gbuffer.use_thin_lens else 0.0)
+                return gbuffer_mod.ray_traced_gbuffer(
+                    scene, trace, cfg.width, cfg.height, gbuf_frame, jitter,
+                    use_thin_lens=cfg.gbuffer.use_thin_lens,
+                    lens_radius=lens_radius,
+                    focal_len=cfg.gbuffer.focal_length_gui,
+                )
+
+            def bdpt_stage(baked, camera, channels, bdpt_frame):
+                scene = baked.with_camera(camera)
+                jitter = gbuffer_mod.pixel_jitter_for_frame(
+                    bdpt_frame, cfg.gbuffer.jitter_mode)
+                trace = make_shaded_tracer(
+                    scene, sort_divergent=cfg.bdpt.sort_bounces)
+                return bdpt_mod.bdpt_pass(
+                    scene, scene.intersector(), channels, bdpt_frame, jitter,
+                    cfg.bdpt, trace=trace)
+
+            def accum_stage(accum, frame_img, reset):
+                return accumulate(
+                    accum, frame_img, cfg.accumulate.max_accum_count,
+                    reset=reset)
+
+            def bmfr_stage(bmfr_state, channels, camera):
+                return bmfr_mod.bmfr_pass(bmfr_state, channels, camera,
+                                          cfg.bmfr)
+
+            self._stage_fns = {
+                "use_mk": use_mk,
+                "megakernel": jax.jit(mk_stage),
+                "gbuffer": jax.jit(gbuf_stage),
+                "bdpt": jax.jit(bdpt_stage),
+                "accumulate": jax.jit(accum_stage),
+                "bmfr": jax.jit(bmfr_stage),
+            }
+
+        st = self._stage_fns
+        reset = camera_moved(self._prev_view_proj, self.camera.view_proj)
+        gbuf_frame = jnp.uint32(GBUF_FRAME_INIT + self.state.frame_index)
+        bdpt_frame = jnp.uint32(BDPT_FRAME_INIT + self.state.frame_index)
+        with prof.event("frame") as fh:
+            if st["use_mk"]:
+                with prof.event("megakernel") as h:
+                    channels, frame_img = st["megakernel"](
+                        self.baked, self.camera, gbuf_frame, bdpt_frame)
+                    h[0] = frame_img
+            else:
+                with prof.event("gbuffer") as h:
+                    channels = st["gbuffer"](
+                        self.baked, self.camera, gbuf_frame, bdpt_frame)
+                    h[0] = channels
+                with prof.event("bdpt") as h:
+                    frame_img = st["bdpt"](
+                        self.baked, self.camera, channels, bdpt_frame)
+                    h[0] = frame_img
+                channels["BDPT"] = frame_img
+            with prof.event("accumulate") as h:
+                accum, accum_img = st["accumulate"](
+                    self.state.accum, frame_img, reset)
+                h[0] = accum_img
+            channels["Accumulated"] = accum_img
+            with prof.event("bmfr") as h:
+                bmfr_state, denoised = st["bmfr"](
+                    self.state.bmfr, channels, self.camera)
+                h[0] = denoised
+            channels["PipelineOutput"] = denoised
+            fh[0] = denoised
+        self.channels = channels
+        self.state.accum = accum
+        self.state.bmfr = bmfr_state
+        self.state.frame_index += 1
+        self._prev_view_proj = self.camera.view_proj
+        self.camera = begin_frame(self.camera)
+        return denoised
+
     def render(self, n_frames: int):
         out = None
         for _ in range(n_frames):

@@ -140,3 +140,23 @@ def test_obj_loader_roundtrip(tmp_path):
     assert meshes[0].indices.shape == (1, 3)
     red = mats[meshes[0].material]
     assert red.base_color[:3] == (0.8, 0.1, 0.1)
+
+
+def test_profiled_render_matches_fused():
+    """render_frame_profiled (per-pass jits + honest syncs) must produce the
+    same frame as the fused render_frame and record the per-pass events."""
+    from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import make_cornell_renderer
+    from fyp_bidirectionalpathtracer_tpu.utils.profiler import Profiler
+
+    r1 = make_cornell_renderer(48)
+    r2 = make_cornell_renderer(48)
+    prof = Profiler()
+    a = np.asarray(r1.render_frame())
+    b = np.asarray(r2.render_frame_profiled(prof))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    keys = set(prof.events)
+    assert "frame" in keys
+    assert {"frame/accumulate", "frame/bmfr"} <= keys
+    assert ("frame/megakernel" in keys) or ("frame/bdpt" in keys)
+    # states advanced identically
+    assert r1.state.frame_index == r2.state.frame_index == 1
