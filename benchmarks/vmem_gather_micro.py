@@ -99,26 +99,29 @@ def xla_sorted(r):
     return _time(f, (tab, idx))
 
 
-def sort_payload(r):
+def sort_payload(n_cols):
     rng = np.random.default_rng(2)
     keys = jnp.asarray(rng.integers(0, 2**31, size=N_IDX, dtype=np.int32))
-    payload = make_table(N_IDX)  # [N,12] u32 rides along
+    payload = jnp.asarray(
+        rng.integers(0, 2**32, size=(N_IDX, n_cols), dtype=np.uint32))
 
     @jax.jit
     def f(k, p, salt):
-        ops = [k + salt] + [p[:, c] for c in range(12)]
+        ops = [k + salt] + [p[:, c] for c in range(n_cols)]
         out = jax.lax.sort(ops, num_keys=1)
-        return out[1]
+        return out[1:]
 
-    return _time(f, (keys, payload))
+    return _time(f, (keys, payload),
+                 out_probe=lambda rr: float(jnp.asarray(rr[0][0]).astype(jnp.float32)))
 
 
 # ----------------------------------------------------- D: per-row copy kernel
 def pl_rowcopy(r, block=1024):
     assert r % 8 == 0
     tab = make_table(r)
-    # grouped layout: 8 table rows per sublane row -> [R/8, 96] i32
-    tab_g = tab.view(jnp.int32).reshape(r // 8, 96)
+    # grouped layout: 8 table rows per sublane row, lane-padded to 128
+    # (Mosaic dynamic_rotate requires 128-aligned lanes) -> [R/8, 128] i32
+    tab_g = jnp.pad(tab.view(jnp.int32).reshape(r // 8, 96), ((0, 0), (0, 32)))
     idx = make_idx(r)
 
     def kernel(idx_ref, tab_ref, out_ref):
@@ -126,8 +129,8 @@ def pl_rowcopy(r, block=1024):
             rr = idx_ref[i]
             g = rr // 8
             off = rr % 8
-            row = tab_ref[pl.ds(g, 1), :]  # [1, 96]
-            row = pltpu.roll(row, 96 - off * 12, axis=1)  # dynamic rotate
+            row = tab_ref[pl.ds(g, 1), :]  # [1, 128]
+            row = pltpu.roll(row, 128 - off * 12, axis=1)  # dynamic rotate
             out_ref[pl.ds(i, 1), :] = row[:, 0:12]
             return 0
 
@@ -192,7 +195,7 @@ def pl_onehot(r, block=1024, win=4096):
 
     def kernel(lo_ref, idx_ref, tab_hbm, out_ref, win_buf, sem):
         t = pl.program_id(0)
-        lo = lo_ref[t]
+        lo = pl.multiple_of(lo_ref[t], 8)
         cp = pltpu.make_async_copy(tab_hbm.at[pl.ds(lo, win), :], win_buf, sem)
         cp.start()
         lidx = idx_ref[:, :] - lo  # [block, 1]
@@ -208,7 +211,7 @@ def pl_onehot(r, block=1024, win=4096):
         in_specs=[
             pl.BlockSpec((block, 1), lambda t, lo: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((block, 48), lambda t, lo: (t, 0),
                                memory_space=pltpu.VMEM),
@@ -256,15 +259,16 @@ def main():
                 print(json.dumps({"variant": name, "rows": r,
                                   "error": repr(e)}), flush=True)
                 traceback.print_exc()
-    try:
-        ms = sort_payload(0)
-        print(json.dumps({"variant": "sort_12payload", "ms_per_1M": round(ms, 2)}),
-              flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({"variant": "sort_12payload", "error": repr(e)}), flush=True)
+    for n_cols in (4, 8, 12, 16, 24, 32):
+        try:
+            ms = sort_payload(n_cols)
+            print(json.dumps({"variant": f"sort_{n_cols}payload",
+                              "ms_per_1M": round(ms, 2)}), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"variant": f"sort_{n_cols}payload",
+                              "error": repr(e)}), flush=True)
 
     for name, fn, rows in (
-        ("pl_take", pl_take, 196_608),
         ("pl_rowcopy", pl_rowcopy, 196_608),
     ):
         try:

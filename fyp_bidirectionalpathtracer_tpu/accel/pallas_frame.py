@@ -1103,7 +1103,7 @@ def supports_megakernel(baked, cfg, max_tris: int = 2048) -> bool:
     )
 
 
-def _textured_replay(out, n_sub, n_pix, bcfg, atlas, width):
+def _textured_replay(out, n_sub, bcfg, atlas):
     """Post-kernel deferred-texture replay (see frame_kernel textured rows).
 
     Applies per-vertex texel/mean base-color ratios to the kernel's raw
@@ -1352,7 +1352,7 @@ def render_frame_megakernel(
     tex_splats = dif_ratio1 = em3 = None
     if textured:
         res4, tex_splats, dif_ratio1, em3 = _textured_replay(
-            out, n_sub, n_pix, bcfg, data.textures, width
+            out, n_sub, bcfg, data.textures
         )
         result = res4.reshape(sub_h, width, 4)
     else:

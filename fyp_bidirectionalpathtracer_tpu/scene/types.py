@@ -71,7 +71,13 @@ class LightArray:
 class MaterialArray:
     """Material table (SoA); textures referenced by atlas slot id (-1 none)."""
 
-    base_color: jnp.ndarray       # [M,4] rgba (a = opacity)
+    # [M,4] rgba (a = opacity).  CAUTION: for textured materials
+    # (base_color_tex >= 0) Scene.bake overwrites rgb with the TEXTURE MEAN
+    # (floored at 1e-3) — the deferred-texture megakernel's replay divides
+    # texel taps by this constant, so it is a denominator, not the authored
+    # color.  Consumers that need the authored value must keep their own
+    # copy (shading ignores the constant whenever the slot is >= 0).
+    base_color: jnp.ndarray
     specular: jnp.ndarray         # [M,4] (spec-gloss: rgb=spec, a=gloss;
                                   #        metal-rough: g=rough, b=metal)
     emissive: jnp.ndarray         # [M,3]

@@ -125,3 +125,39 @@ def test_uniform_texture_is_exact():
     d = np.abs(img_mk - img).max(-1)
     assert (d > 1e-3).mean() < 0.06, (d > 1e-3).mean()
     assert abs(img_mk[..., :3].mean() - img[..., :3].mean()) < 2e-3
+
+
+def test_emissive_textured_replay_and_combined_fallback():
+    """ADVICE r2: a scene texturing >=2 kinds (base + emissive) builds ONLY
+    the u8-quantized combined table (TextureAtlas.packed is None), so the
+    wavefront shades from u8-quantized taps while the deferred replay
+    samples the f32 atlas through the 4-gather fallback — this pins the em3
+    replay path and bounds the u8-vs-f32 route divergence (PARITY.md)."""
+    from fyp_bidirectionalpathtracer_tpu.models.procedural import checkerboard
+
+    built = textured_room()
+    # LDR emissive texture on the glow material (the reference's emissive
+    # textures are LDR images scaled by gEmitMult, so [0,1] is the real
+    # range; the u8 combined table clamps anything above 1 — PARITY.md)
+    glow = built.materials[3]
+    glow.emissive = (1.0, 0.9, 0.7)
+    glow.emissive_image = checkerboard(32, (1.0, 0.9, 0.7), (0.4, 0.35, 0.2), 4)
+    baked = Scene.from_built(built, aspect=W / H).bake()
+    assert baked.tex_defer_ok
+    atlas = baked.data.textures
+    assert atlas.combined is not None and atlas.packed is None
+    assert atlas.any_base and atlas.any_emissive
+
+    ch_mk, img_mk, ch, img = _run_both(baked, BDPTConfig(max_depth=2))
+    # Emissive G-buffer channel must carry the texture (not the constant):
+    em_mk = np.asarray(ch_mk["Emissive"])[..., :3]
+    em_wf = np.asarray(ch["Emissive"])[..., :3]
+    assert em_wf.std() > 0.01  # the map actually varies across the panel
+    d = np.abs(em_mk - em_wf).max(-1)
+    # wavefront taps are u8-quantized, replay taps are f32: allow the
+    # quantization tier plus bilinear accumulation (~4/255)
+    assert (d > 0.02).mean() < 0.02, (d > 0.02).mean()
+    d = np.abs(img_mk - img).max(-1)
+    assert (d > 2e-2).mean() < 0.10, (d > 2e-2).mean()
+    assert np.abs(img_mk - img).mean() < 0.02
+    assert abs(img_mk[..., :3].mean() - img[..., :3].mean()) < 5e-3
