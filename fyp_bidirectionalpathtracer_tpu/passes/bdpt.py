@@ -231,27 +231,50 @@ def _connection_weight(camera_path, light_path, s, t, cfg: BDPTConfig, total_len
         return 1.0 / float(total_len)
     power = 2 if cfg.connection_weight == "power" else 1
 
-    def subpath_pdf(path, k):
-        p = path[0].pdf_fwd
-        for x in range(1, k + 1):
-            p = p * path[x].pdf_fwd * _eval_g_without_v(path[x - 1], path[x])
-        return p
+    # Two corrections beyond the comma bug (both required to make the dead
+    # code's intent functional):
+    #  * light/camera endpoint vertices carry NO surface normal (the
+    #    reference zero-inits lightPath[0].N, BDPTMain.rt.hlsl:130-132), so
+    #    the dead code's evalGWithoutV factor was 0 for every split with
+    #    j >= 1 — degenerate (zero-normal) endpoints count as cosine 1.
+    #  * pdf chains of long subpaths over/underflow f32 (G ~ 1/r^2 per
+    #    edge, then squared by the power heuristic): accumulate in log
+    #    space and weight via a max-subtracted softmax.
+    def _log_pdf_g(a, b):
+        vec = b.pos - a.pos
+        d2 = jnp.maximum(dot(vec, vec), 1e-30)
+        d = vec / jnp.sqrt(d2)[..., None]
 
-    total = 0.0
+        def cosf(vtx):
+            degenerate = dot(vtx.n, vtx.n) < 0.5  # normals are unit or zero
+            return jnp.where(degenerate, 1.0, jnp.abs(dot(vtx.n, d)))
+
+        return jnp.log(jnp.maximum(cosf(a) * cosf(b), 0.0)) - jnp.log(d2)
+
+    def subpath_logpdf(path, k):
+        lp = jnp.log(jnp.maximum(path[0].pdf_fwd, 0.0))
+        for x in range(1, k + 1):
+            lp = lp + jnp.log(jnp.maximum(path[x].pdf_fwd, 0.0))
+            lp = lp + _log_pdf_g(path[x - 1], path[x])
+        return lp
+
+    terms = []
     current = None
     for i in range(0, total_len + 1):
         j = total_len - i
         if i >= len(camera_path) or j >= len(light_path):
             continue
-        p_e = subpath_pdf(camera_path, i)
-        p_l = subpath_pdf(light_path, j)
-        term = (p_e * p_l) ** power
-        total = total + term
+        lp = subpath_logpdf(camera_path, i) + subpath_logpdf(light_path, j)
+        terms.append(lp)
         if i == s and j == t:
-            current = term
+            current = lp
     if current is None:
         return 0.0
-    return jnp.where(total > 0, current / jnp.maximum(total, 1e-30), 0.0)
+    stacked = jnp.stack(terms)
+    m = jnp.max(stacked, axis=0)
+    denom = jnp.sum(jnp.exp(jnp.float32(power) * (stacked - m)), axis=0)
+    w = jnp.exp(jnp.float32(power) * (current - m)) / jnp.maximum(denom, 1e-30)
+    return jnp.where(jnp.isfinite(current), w, 0.0)
 
 
 def bdpt_pass(
