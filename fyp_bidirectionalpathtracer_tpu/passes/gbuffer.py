@@ -51,6 +51,7 @@ def ray_traced_gbuffer(
     focal_len=1.0,
     row0=0,
     sub_height: int | None = None,
+    env_bilinear: bool = False,
 ):
     """Returns the channel dict. `trace` from ops.shading.make_shaded_tracer
     (closest hit + shading data in one wavefront call).
@@ -95,7 +96,12 @@ def ray_traced_gbuffer(
     valid = hit.hit
     vmask = valid[..., None]
     dist = jnp.sqrt(jnp.sum((sd.pos_w - cam.pos_w) ** 2, -1))
-    env = eval_env_nearest(baked.data.env_map, direction)
+    if env_bilinear:
+        from ..ops.envmap import eval_env_bilinear
+
+        env = eval_env_bilinear(baked.data.env_map, direction)
+    else:
+        env = eval_env_nearest(baked.data.env_map, direction)
 
     zeros3 = jnp.zeros_like(sd.pos_w)
     channels = {

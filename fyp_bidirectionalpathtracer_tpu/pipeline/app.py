@@ -40,6 +40,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--full-screen-denoise", action="store_true",
                    help="disable the reference's half-screen A/B gate")
     p.add_argument("--thin-lens", action="store_true")
+    p.add_argument("--envmap", default="",
+                   help="lat-long environment image (.png/.jpg/.hdr) for the "
+                        "G-buffer miss path (ResourceManager env-map analogue)")
+    p.add_argument("--env-bilinear", action="store_true",
+                   help="bilinear env-map filtering (default: nearest, "
+                        "reference parity)")
     p.add_argument("--animate", action="store_true",
                    help="advance the scene camera path each frame")
     p.add_argument("--fixedtimedelta", type=float, default=1.0 / 60.0,
@@ -118,7 +124,8 @@ def main(argv=None) -> dict:
             clamp_upper=args.clamp_upper,
             faithful_rng=args.faithful_rng,
         ),
-        gbuffer=GBufferConfig(use_thin_lens=args.thin_lens),
+        gbuffer=GBufferConfig(use_thin_lens=args.thin_lens,
+                              env_bilinear=args.env_bilinear),
         accumulate=AccumulateConfig(),
         bmfr=BMFRConfig(
             enabled=args.denoise,
@@ -129,6 +136,11 @@ def main(argv=None) -> dict:
     )
 
     scene = load_scene(args.scene)
+    if args.envmap:
+        from ..utils.image import read_image
+
+        scene.env_map = read_image(args.envmap)
+        scene.env_map_file = args.envmap
     if args.export_scene:
         from ..scene.fscene import save_fscene
 

@@ -93,6 +93,7 @@ def render_frame_fn(
             use_thin_lens=cfg.gbuffer.use_thin_lens,
             lens_radius=lens_radius,
             focal_len=cfg.gbuffer.focal_length_gui,
+            env_bilinear=cfg.gbuffer.env_bilinear,
         )
 
         frame_img = bdpt_mod.bdpt_pass(
@@ -255,6 +256,7 @@ class Renderer:
                     use_thin_lens=cfg.gbuffer.use_thin_lens,
                     lens_radius=lens_radius,
                     focal_len=cfg.gbuffer.focal_length_gui,
+                    env_bilinear=cfg.gbuffer.env_bilinear,
                 )
 
             def bdpt_stage(baked, camera, channels, bdpt_frame):

@@ -144,6 +144,20 @@ def load_fscene(path: str, allow_missing_models: bool = True) -> Scene:
         if kinds - {"camera"}:
             scene.object_paths.append(parsed)
 
+    # ---- user-defined: env map ----
+    # The reference manages env maps as user content through the
+    # ResourceManager / RenderingPipeline env-map UI (ResourceManager.cpp:
+    # 77-111, RenderingPipeline.cpp:70-117); .fscene has no standard key, so
+    # we read it from the user_defined dict (the v2 extension point,
+    # SceneImporter.cpp:1124) as a path relative to the scene file.
+    ud = doc.get("user_defined", {})
+    env_file = ud.get("env_map") if isinstance(ud, dict) else None
+    if env_file:
+        from ..utils.image import read_image
+
+        scene.env_map = read_image(os.path.join(base, env_file))
+        scene.env_map_file = env_file
+
     scene.apply_default_fixups()
     return scene
 
@@ -237,6 +251,9 @@ def save_fscene(scene: Scene, path: str, write_geometry: bool = True) -> None:
             }
             for p in scene.camera_paths
         ]
+
+    if getattr(scene, "env_map_file", None):
+        doc["user_defined"] = {"env_map": scene.env_map_file}
 
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)

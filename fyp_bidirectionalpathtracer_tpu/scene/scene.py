@@ -47,6 +47,7 @@ class Scene:
     lights: list = field(default_factory=list)          # list[dict]
     camera: camera_mod.CameraData | None = None
     env_map: np.ndarray | None = None                   # [h,w,4] or None
+    env_map_file: str | None = None                     # source path (fscene round-trip)
     camera_paths: list = field(default_factory=list)    # list[animation.Path]
     # paths whose attached_objects name model instances or lights
     # (SceneImporter.cpp:776 kAttachedObjects; Scene::update animates them)

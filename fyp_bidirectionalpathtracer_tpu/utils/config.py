@@ -78,6 +78,9 @@ class GBufferConfig:
     f_stop: float = 32.0
     focal_length_gui: float = 1.0  # thin-lens focal length (GUI units)
     jitter_mode: str = "msaa8"     # 'msaa8' | 'random' | 'none'
+    # env-map miss filtering: False = nearest texel (reference parity,
+    # lightProbeGBuffer.rt.hlsl:64-74), True = bilinear (quality option)
+    env_bilinear: bool = False
 
 
 @dataclass(frozen=True)
