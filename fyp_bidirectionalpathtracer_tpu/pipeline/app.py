@@ -64,6 +64,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard", type=int, default=0,
                    help="shard the frame by rows over N devices "
                         "(0 = single device)")
+    # SampleTest measurement tasks (SampleTest.h:58-62, SampleTest.cpp:
+    # 368-494): the reference RECORDS load time / perf ranges / memory
+    # ranges into its results JSON and the CI harness judges them
+    # (RunTestsSet.py:255-260); thresholds here add in-binary verdicts.
+    p.add_argument("--loadtime", nargs="?", const=-1.0, type=float,
+                   default=None, metavar="MAX_S",
+                   help="record scene-load+compile time (LoadTimeCheckTask);"
+                        " optional threshold seconds -> pass/fail verdict")
+    p.add_argument("--perfframes", default="", metavar="A:B[,A:B...]",
+                   help="frame ranges whose frame times are recorded "
+                        "(PerformanceCheckTask analogue)")
+    p.add_argument("--perfrange", default="", metavar="LO:HI",
+                   help="acceptable avg sec/frame over each --perfframes "
+                        "range -> pass/fail verdict")
+    p.add_argument("--memframes", default="", metavar="A:B[,A:B...]",
+                   help="frame ranges whose host RSS is sampled "
+                        "(MemoryCheckTask analogue)")
+    p.add_argument("--memrange", type=float, default=0.0, metavar="MAX_MB",
+                   help="max allowed RSS growth (MB) over each --memframes "
+                        "range -> pass/fail verdict")
     p.add_argument("--export-scene", default="",
                    help="write the loaded scene to this .fscene path "
                         "(SceneExporter analogue; geometry as OBJ sidecar)")
@@ -105,8 +125,35 @@ def load_scene(name: str):
     raise ValueError(f"unknown scene {name!r}")
 
 
+def _parse_ranges(spec: str) -> list:
+    """'A:B,C:D' -> [(A, B), (C, D)] (frame ids, inclusive)."""
+    out = []
+    for part in spec.split(","):
+        if not part.strip():
+            continue
+        a, b = part.split(":")
+        out.append((int(a), int(b)))
+    return out
+
+
+def _rss_mb() -> float:
+    """Host resident-set size in MB (the MemoryCheckTask's
+    getUsedMemory analogue, SampleTest.cpp:501-509)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
 def main(argv=None) -> dict:
     args = build_arg_parser().parse_args(argv)
+    t_start = time.perf_counter()
 
     from ..pipeline.renderer import Renderer
     from ..utils.config import (
@@ -166,6 +213,10 @@ def main(argv=None) -> dict:
     n_frames = args.shutdown or args.frames
     results = {"frames": n_frames, "screenshots": [], "frame_times": []}
 
+    mem_ranges = _parse_ranges(args.memframes)
+    perf_ranges = _parse_ranges(args.perfframes)
+    mem_samples: dict = {k: [] for k in range(len(mem_ranges))}
+
     start = renderer.state.frame_index
     for f in range(start, n_frames):
         if args.animate:
@@ -181,6 +232,13 @@ def main(argv=None) -> dict:
 
         _force(out)
         results["frame_times"].append(time.perf_counter() - t0)
+        if f == start and args.loadtime is not None:
+            # LoadTimeCheckTask: time from startup through the first
+            # rendered frame (scene load + bake + XLA compile)
+            results["load_time"] = time.perf_counter() - t_start
+        for k, (a, b) in enumerate(mem_ranges):
+            if a <= f <= b:
+                mem_samples[k].append(_rss_mb())
         if (f + 1) in ss_frames:
             path = os.path.join(args.outputdir, f"frame_{f + 1:05d}.png")
             write_png(path, renderer.display())
@@ -191,6 +249,52 @@ def main(argv=None) -> dict:
     results["output"] = final
     steady = results["frame_times"][1:] or results["frame_times"]
     results["sec_per_frame"] = sum(steady) / max(len(steady), 1)
+
+    # ---- measurement-task results + verdicts (SampleTest parity) ----
+    verdicts: dict = {}
+    if args.loadtime is not None and args.loadtime >= 0:
+        verdicts["load_time"] = {
+            "value": results.get("load_time"),
+            "max": args.loadtime,
+            "passed": results.get("load_time", 1e30) <= args.loadtime,
+        }
+    if perf_ranges:
+        recs = []
+        times = results["frame_times"]
+        for a, b in perf_ranges:
+            seg = [times[i - start] for i in range(a, b + 1)
+                   if 0 <= i - start < len(times)]
+            rec = {"frames": [a, b],
+                   "avg": sum(seg) / max(len(seg), 1),
+                   "min": min(seg, default=0.0),
+                   "max": max(seg, default=0.0)}
+            if args.perfrange:
+                lo, hi = (float(x) for x in args.perfrange.split(":"))
+                rec["passed"] = lo <= rec["avg"] <= hi
+            recs.append(rec)
+        results["perf_ranges"] = recs
+        if args.perfrange:
+            verdicts["perf"] = {
+                "passed": all(r.get("passed", True) for r in recs)}
+    if mem_ranges:
+        recs = []
+        for k, (a, b) in enumerate(mem_ranges):
+            s = mem_samples[k]
+            rec = {"frames": [a, b],
+                   "start_mb": s[0] if s else 0.0,
+                   "end_mb": s[-1] if s else 0.0,
+                   "delta_mb": (s[-1] - s[0]) if s else 0.0}
+            if args.memrange:
+                rec["passed"] = rec["delta_mb"] <= args.memrange
+            recs.append(rec)
+        results["memory_ranges"] = recs
+        if args.memrange:
+            verdicts["memory"] = {
+                "passed": all(r.get("passed", True) for r in recs)}
+    if verdicts:
+        verdicts["passed"] = all(v.get("passed", True)
+                                 for v in verdicts.values())
+        results["tests"] = verdicts
 
     if args.checkpoint:
         from ..utils.checkpoint import save_render_state

@@ -160,3 +160,38 @@ def test_profiled_render_matches_fused():
     assert ("frame/megakernel" in keys) or ("frame/bdpt" in keys)
     # states advanced identically
     assert r1.state.frame_index == r2.state.frame_index == 1
+
+
+def test_sampletest_measurement_tasks(tmp_path):
+    """SampleTest parity (SampleTest.h:58-62): load-time, perf-range and
+    memory-range tasks record measurements + pass/fail verdicts in
+    results.json."""
+    import json
+
+    from fyp_bidirectionalpathtracer_tpu.pipeline.app import main
+
+    res = main([
+        "--scene", "cornell", "--width", "32", "--height", "32",
+        "--frames", "4", "--outputdir", str(tmp_path),
+        "--loadtime", "600", "--perfframes", "1:3", "--perfrange", "0:600",
+        "--memframes", "0:3", "--memrange", "100000",
+    ])
+    with open(tmp_path / "results.json") as fh:
+        disk = json.load(fh)
+    for r in (res, disk):
+        assert r["load_time"] > 0
+        assert r["perf_ranges"][0]["frames"] == [1, 3]
+        assert r["perf_ranges"][0]["avg"] > 0
+        assert r["memory_ranges"][0]["end_mb"] > 0
+        assert r["tests"]["passed"] is True
+        assert r["tests"]["load_time"]["passed"] is True
+
+    # failing thresholds produce failing verdicts
+    res = main([
+        "--scene", "cornell", "--width", "32", "--height", "32",
+        "--frames", "2", "--outputdir", str(tmp_path),
+        "--loadtime", "0.000001", "--memframes", "0:1",
+        "--memrange", "0.0000001",
+    ])
+    assert res["tests"]["load_time"]["passed"] is False
+    assert res["tests"]["passed"] is False
