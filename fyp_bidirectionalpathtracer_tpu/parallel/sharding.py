@@ -69,9 +69,10 @@ def sharded_megakernel_step(cfg, mesh: Mesh, interpret: bool | None = None):
     estimator-2 splat image is psum-reduced over the mesh (the one
     cross-chip collective) inside render_frame_megakernel.
 
-    Scope: megakernel-supported scenes, BMFR disabled (its reprojection
-    taps cross shard rows).  Returns a step(baked, camera, accum, bmfr,
-    gbuf_frame, bdpt_frame, reset) -> (channels, accum, bmfr).
+    Scope: megakernel-supported scenes; BMFR runs per shard with row-halo
+    exchanges (bmfr_pass sharded mode — ppermute history margins +
+    exact 32-row regression block halos).  Returns a step(baked, camera,
+    accum, bmfr, gbuf_frame, bdpt_frame, reset) -> (channels, accum, bmfr).
     """
     import functools
 
@@ -91,17 +92,6 @@ def sharded_megakernel_step(cfg, mesh: Mesh, interpret: bool | None = None):
         raise ValueError(
             f"row sharding needs height divisible by {n} and shard pixel "
             f"counts divisible by 128 (got {h}x{w})"
-        )
-    if cfg.bmfr.enabled and n > 1:
-        # BMFR's temporal reprojection + 32x32 regression blocks tap pixels
-        # across shard-row boundaries; running it per shard would silently
-        # read the wrong history rows.  Fail loudly until a halo exchange
-        # exists; the SPMD wavefront path (sharded_render_step) handles
-        # BMFR correctly because XLA partitions its gathers globally.
-        raise ValueError(
-            "BMFR under sharded_megakernel_step is unsupported (reprojection"
-            " taps cross shard rows); use sharded_render_step or disable"
-            " cfg.bmfr.enabled"
         )
     sub_h = h // n
     n_sub = sub_h * w
@@ -145,7 +135,8 @@ def sharded_megakernel_step(cfg, mesh: Mesh, interpret: bool | None = None):
         )
         channels["Accumulated"] = accum_img
         bmfr_state, out = bmfr_mod.bmfr_pass(
-            bmfr_state, channels, camera, cfg.bmfr
+            bmfr_state, channels, camera, cfg.bmfr,
+            axis_name=ROW_AXIS, n_shards=n, full_h=h,
         )
         channels["PipelineOutput"] = out
         return channels, accum, bmfr_state
@@ -189,9 +180,8 @@ def sharded_wavefront_step(cfg, mesh: Mesh):
     bit-identical to the single-chip wavefront frame; the estimator-2 splat
     psums over the mesh (the one cross-chip collective).
 
-    Scope: any scene the wavefront path renders; BMFR disabled (its
-    reprojection + 32x32 regression blocks tap pixels across shard rows —
-    use sharded_render_step for BMFR).
+    Scope: any scene the wavefront path renders; BMFR runs per shard with
+    row-halo exchanges (bmfr_pass sharded mode).
     """
     try:
         from jax import shard_map
@@ -208,12 +198,6 @@ def sharded_wavefront_step(cfg, mesh: Mesh):
     h, w = cfg.height, cfg.width
     if h % n != 0:
         raise ValueError(f"row sharding needs height divisible by {n} (got {h})")
-    if cfg.bmfr.enabled and n > 1:
-        raise ValueError(
-            "BMFR under sharded_wavefront_step is unsupported (reprojection"
-            " taps cross shard rows); use sharded_render_step or disable"
-            " cfg.bmfr.enabled"
-        )
     sub_h = h // n
 
     rep = P()
@@ -255,7 +239,8 @@ def sharded_wavefront_step(cfg, mesh: Mesh):
         )
         channels["Accumulated"] = accum_img
         bmfr_state, out = bmfr_mod.bmfr_pass(
-            bmfr_state, channels, camera, cfg.bmfr
+            bmfr_state, channels, camera, cfg.bmfr,
+            axis_name=ROW_AXIS, n_shards=n, full_h=h,
         )
         channels["PipelineOutput"] = out
         return channels, accum, bmfr_state
@@ -306,8 +291,18 @@ def sharded_render_step(frame_fn, mesh: Mesh, height: int):
 
     jitted = jax.jit(traced)
 
+    # Replicating the baked scene tree is a host->device broadcast (~60 ms
+    # host RTT per CLAUDE.md); cache it per scene object so a progressive
+    # loop pays it once, not per frame.  State trees (accum/bmfr) come back
+    # from the jitted step already row-sharded, so re-device_put is a no-op
+    # after the first frame.
+    _placed: dict = {}
+
     def step(baked, camera, accum, bmfr_state, gbuf_frame, bdpt_frame, reset):
-        baked = replicate_tree(baked, mesh)
+        if _placed.get("key") is not baked:
+            _placed["key"] = baked
+            _placed["tree"] = replicate_tree(baked, mesh)
+        baked = _placed["tree"]
         camera = replicate_tree(camera, mesh)
         accum = shard_image_tree(accum, mesh, height)
         bmfr_state = shard_image_tree(bmfr_state, mesh, height)

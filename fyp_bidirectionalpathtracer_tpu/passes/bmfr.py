@@ -87,20 +87,66 @@ def _pack_2x2(img):
     return jnp.concatenate([padded, right, down, down_right], axis=-1)
 
 
-def _gather_2x2(pack, base, h, w):
+def _gather_2x2(pack, base, h, w, y0=0):
     """Fetch the 4-tap block for integer base coords ([H,W,2] int32).
+    `y0` is the global row of the pack's first image row (sharded history
+    windows); `h` is the pack's image-row count.
 
     TPU gather cost is flat for row widths up to 16 f32 columns (64 B) and
     climbs steeply beyond (~8 ms/1M at 16 cols vs ~45 ms at 40 cols,
     benchmarks/bmfr_pre_micro.py), so the wide pack is fetched as several
     <=16-column gathers sharing one index vector."""
     gx = jnp.clip(base[..., 0] + 1, 0, w)
-    gy = jnp.clip(base[..., 1] + 1, 0, h)
+    gy = jnp.clip(base[..., 1] - y0 + 1, 0, h)
     c = pack.shape[-1]
     flat = pack.reshape(-1, c)
     idx = gy * (w + 1) + gx
     parts = [flat[:, s:min(s + 16, c)][idx] for s in range(0, c, 16)]
     return jnp.concatenate(parts, axis=-1)
+
+
+def _extend_rows(x, n_top, n_bot, axis_name, n_shards, full_h, mode):
+    """Row-halo exchange for shard_map row sharding.
+
+    `x` is this shard's [sub_h, W, C] block of a full [full_h, W, C] image.
+    Returns the [n_top + sub_h + n_bot, W, C] window of global rows
+    [r0 - n_top, r1 + n_bot), where rows outside the image are
+    symmetric-reflected (mode='symmetric', matching jnp.pad) or zero
+    (mode='zero').
+
+    When each halo fits in one neighbour (n <= sub_h) this is one
+    `ppermute` per direction over ICI; otherwise (tiny shards, e.g. the
+    driver dry run) it falls back to an `all_gather` + dynamic slice.
+    """
+    sub_h = x.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    if 0 < n_top <= sub_h and 0 < n_bot <= sub_h:
+        top_recv = jax.lax.ppermute(
+            x[-n_top:], axis_name, [(i, i + 1) for i in range(n_shards - 1)]
+        )
+        bot_recv = jax.lax.ppermute(
+            x[:n_bot], axis_name, [(i, i - 1) for i in range(1, n_shards)]
+        )
+        if mode == "symmetric":
+            top_edge = x[:n_top][::-1]
+            bot_edge = x[-n_bot:][::-1]
+        else:
+            top_edge = jnp.zeros_like(top_recv)
+            bot_edge = jnp.zeros_like(bot_recv)
+        top = jnp.where(idx == 0, top_edge, top_recv)
+        bot = jnp.where(idx == n_shards - 1, bot_edge, bot_recv)
+        return jnp.concatenate([top, x, bot], axis=0)
+    if mode == "symmetric" and max(n_top, n_bot) > full_h:
+        raise ValueError(
+            f"sharded BMFR needs image height >= halo ({max(n_top, n_bot)})"
+        )
+    full = jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    pad_mode = "symmetric" if mode == "symmetric" else "constant"
+    padded = jnp.pad(full, ((n_top, n_bot), (0, 0), (0, 0)), mode=pad_mode)
+    r0 = idx * sub_h
+    return jax.lax.dynamic_slice(
+        padded, (r0, 0, 0), (n_top + sub_h + n_bot,) + tuple(x.shape[1:])
+    )
 
 
 def _hash_random(a):
@@ -117,13 +163,21 @@ def _hash_random(a):
 
 # ------------------------------------------------------------- preprocess
 def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
-               cfg: BMFRConfig):
+               cfg: BMFRConfig, *, hist=None, hist_y0=0, full_h=None):
     """Temporal reprojection + first blend (preprocess.ps.hlsl).
 
     Returns (blended_noisy [H,W,4] with spp in alpha, accept_bits [H,W] int32,
     prev_pixel_f [H,W,2]).
+
+    Sharded use: `hist` is a pre-assembled [Hh, W, 10] history window
+    ([prev_pos3 | prev_norm3 | prev_noisy4]) whose row 0 is GLOBAL row
+    `hist_y0`, and `full_h` is the global image height; taps landing outside
+    the window are rejected like off-screen taps.  Defaults reproduce the
+    single-chip behavior exactly (hist = whole history, hist_y0 = 0).
     """
     h, w = cur_noisy.shape[0], cur_noisy.shape[1]
+    if full_h is None:
+        full_h = h
     wp = cur_pos[..., :3]
     nrm = cur_norm[..., :3]
     color = cur_noisy[..., :3]
@@ -140,7 +194,7 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
     uvy = (1.0 - cy_ * inv_w) * 0.5
     in_screen = (uvx >= 0.0) & (uvx <= 1.0) & (uvy >= 0.0) & (uvy <= 1.0)
 
-    pixel_f = jnp.stack([uvx * w, uvy * h], -1) - 0.5  # PIXEL_OFFSET
+    pixel_f = jnp.stack([uvx * w, uvy * full_h], -1) - 0.5  # PIXEL_OFFSET
     base = jnp.floor(pixel_f).astype(jnp.int32)
     frac = pixel_f - jnp.floor(pixel_f)
     omf = 1.0 - frac
@@ -153,13 +207,14 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
 
     # packed 2x2-neighborhood history -> ONE gather for all 4 bilinear taps
-    history = _pack_2x2(
-        jnp.concatenate(
+    if hist is None:
+        hist = jnp.concatenate(
             [state.prev_pos[..., :3], state.prev_norm[..., :3], state.prev_noisy],
             axis=-1,
         )
-    )  # [H+1, W+1, 40]
-    taps = _gather_2x2(history, base, h, w)  # [H, W, 40]
+    hist_h = hist.shape[0]
+    history = _pack_2x2(hist)  # [Hh+1, W+1, 40]
+    taps = _gather_2x2(history, base, hist_h, w, y0=hist_y0)  # [H, W, 40]
 
     prev_color = jnp.zeros_like(color)
     sample_spp = jnp.zeros((h, w), jnp.float32)
@@ -168,7 +223,11 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
     for i, (dx, dy) in enumerate(offsets):
         sx = base[..., 0] + dx
         sy = base[..., 1] + dy
-        valid = (sx >= 0) & (sy >= 0) & (sx < w) & (sy < h)
+        valid = (
+            (sx >= 0) & (sx < w)
+            & (sy >= 0) & (sy < full_h)
+            & (sy >= hist_y0) & (sy < hist_y0 + hist_h)
+        )
         tap = taps[..., 10 * i:10 * (i + 1)]
         pos_ok = jnp.sum((tap[..., 0:3] - wp) ** 2, -1) < cfg.position_limit_sq
         nrm_ok = jnp.sum((tap[..., 3:6] - nrm) ** 2, -1) < cfg.normal_limit_sq
@@ -210,33 +269,16 @@ _PAD_L = BLOCK_EDGE           # covers BLOCK_OFFSETS in [-32, -2]
 _PAD_R = 2 * BLOCK_EDGE       # covers n_blocks*32 + off - size <= 61
 
 
-def _block_features(cur_pos, cur_norm, albedo, noisy, frame_number,
-                    n_blocks_x: int, n_blocks_y: int):
-    """Build the [B, 1024, 13] feature tensor for all blocks.
+def _features_from_window(win, n_blocks_y: int, n_blocks_x: int):
+    """Build the [B, 1024, 13] feature tensor from a block-aligned window.
 
     The reference's per-thread fetch (regressionCP.hlsl:104-124) is pixel
     (block*32 + local + BLOCK_OFFSETS[frame%16]) with mirror addressing —
     a REGULAR grid: the whole tensor is one shifted window of the
     symmetric-padded image.  A pad + dynamic_slice + block reshape replaces
     the 1M-index gather (TPU gathers cost ~8 ms/M at 12 columns; slices are
-    pure bandwidth).  Requires h, w >= 64 for single-reflection validity —
-    true for every real config; tiny tests keep exactness because pad
-    mode='symmetric' IS the mirror rule (verified in tests)."""
-    h, w = noisy.shape[0], noisy.shape[1]
+    pure bandwidth).  `win` is that [n_by*32, n_bx*32, 12] window."""
     b = n_blocks_x * n_blocks_y
-    off = BLOCK_OFFSETS[frame_number % 16]
-
-    tab = jnp.concatenate(
-        [cur_pos[..., :3], cur_norm[..., :3], albedo[..., :3],
-         noisy[..., :3]], -1,
-    )  # [H, W, 12]
-    padded = jnp.pad(
-        tab, ((_PAD_L, _PAD_R), (_PAD_L, _PAD_R), (0, 0)), mode="symmetric"
-    )
-    win = jax.lax.dynamic_slice(
-        padded, (_PAD_L + off[1], _PAD_L + off[0], 0),
-        (n_blocks_y * BLOCK_EDGE, n_blocks_x * BLOCK_EDGE, 12),
-    )
     row = (
         win.reshape(n_blocks_y, BLOCK_EDGE, n_blocks_x, BLOCK_EDGE, 12)
         .transpose(0, 2, 1, 3, 4)
@@ -259,7 +301,30 @@ def _block_features(cur_pos, cur_norm, albedo, noisy, frame_number,
         ],
         axis=-1,
     )  # [B, 1024, 13]
-    return feats, off, alb
+    return feats, alb
+
+
+def _fit_window(win, n_blocks_y: int, n_blocks_x: int, frame_number,
+                cfg: BMFRConfig):
+    """Feature build + QR fit over one window; returns the fitted rgb image
+    with the window's spatial shape (regressionCP.hlsl `fit` body)."""
+    feats, alb = _features_from_window(win, n_blocks_y, n_blocks_x)
+    x = _normalize_features(feats)
+    if cfg.remove_ld_features:
+        wts = _householder_qr_skip_ld(x)
+    else:
+        wts = _householder_qr_noise(x, frame_number, cfg.noise_amount)
+    fitted = jnp.einsum(
+        "bpf,bfc->bpc", x[..., :FEATURES], wts,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, 1024, 3]
+    fitted = jnp.maximum(fitted, 0.0)
+    out_rgb = alb * fitted  # alb from the same block taps
+    return (
+        out_rgb.reshape(n_blocks_y, n_blocks_x, BLOCK_EDGE, BLOCK_EDGE, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n_blocks_y * BLOCK_EDGE, n_blocks_x * BLOCK_EDGE, 3)
+    )
 
 
 def _normalize_features(x):
@@ -408,31 +473,24 @@ def regression(cur_pos, cur_norm, albedo, noisy, frame_number, cfg: BMFRConfig):
     if cfg.half_screen_debug:
         n_blocks_x //= 2  # DenoisePass.cpp:266-268 halves horizontal coverage
     n_blocks_y = (h + BLOCK_EDGE - 1) // BLOCK_EDGE + 1
+    off = BLOCK_OFFSETS[frame_number % 16]
 
-    feats, off, alb = _block_features(
-        cur_pos, cur_norm, albedo, noisy, frame_number, n_blocks_x, n_blocks_y
+    tab = jnp.concatenate(
+        [cur_pos[..., :3], cur_norm[..., :3], albedo[..., :3],
+         noisy[..., :3]], -1,
+    )  # [H, W, 12]
+    padded = jnp.pad(
+        tab, ((_PAD_L, _PAD_R), (_PAD_L, _PAD_R), (0, 0)), mode="symmetric"
     )
-    x = _normalize_features(feats)
-    if cfg.remove_ld_features:
-        wts = _householder_qr_skip_ld(x)
-    else:
-        wts = _householder_qr_noise(x, frame_number, cfg.noise_amount)
-
-    fitted = jnp.einsum(
-        "bpf,bfc->bpc", x[..., :FEATURES], wts,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, 1024, 3]
-    fitted = jnp.maximum(fitted, 0.0)
-    out_rgb = alb * fitted  # alb from the same block taps
+    win = jax.lax.dynamic_slice(
+        padded, (_PAD_L + off[1], _PAD_L + off[0], 0),
+        (n_blocks_y * BLOCK_EDGE, n_blocks_x * BLOCK_EDGE, 12),
+    )
+    fitted_img = _fit_window(win, n_blocks_y, n_blocks_x, frame_number, cfg)
 
     # write-back is the inverse regular-grid window: un-block, place into a
     # padded canvas at the frame offset, slice the live region (the old
     # scatter-set — blocks are disjoint in shifted space, so this is exact)
-    fitted_img = (
-        out_rgb.reshape(n_blocks_y, n_blocks_x, BLOCK_EDGE, BLOCK_EDGE, 3)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(n_blocks_y * BLOCK_EDGE, n_blocks_x * BLOCK_EDGE, 3)
-    )
     canvas = jnp.pad(
         noisy[..., :3], ((_PAD_L, _PAD_R), (_PAD_L, _PAD_R), (0, 0))
     )
@@ -443,9 +501,65 @@ def regression(cur_pos, cur_norm, albedo, noisy, frame_number, cfg: BMFRConfig):
     return jnp.concatenate([new_rgb, noisy[..., 3:4]], -1)
 
 
+def regression_sharded(cur_pos, cur_norm, albedo, noisy, frame_number,
+                       cfg: BMFRConfig, axis_name: str, n_shards: int,
+                       full_h: int):
+    """`regression` under shard_map row sharding — bit-matches the
+    single-chip output.
+
+    Each shard computes exactly the 32x32 blocks that intersect its owned
+    rows; blocks straddling a shard boundary are recomputed by both
+    neighbours from identical halo data (same values -> same QR -> same
+    fit), and each shard writes back only its own rows.  Halo: 32 rows
+    above + (32*n_loc - sub_h) <= 63 rows below, one ppermute each over
+    ICI (reference block grid: regressionCP.hlsl:28-58,
+    DenoisePass.cpp:262-268)."""
+    sub_h, w = noisy.shape[0], noisy.shape[1]
+    n_blocks_x = (w + BLOCK_EDGE - 1) // BLOCK_EDGE + 1
+    if cfg.half_screen_debug:
+        n_blocks_x //= 2
+    # blocks that can intersect [row0, row0+sub_h) for any frame offset
+    n_loc = (sub_h - 1) // BLOCK_EDGE + 2
+    n_bot = BLOCK_EDGE * n_loc - sub_h  # in [32, 63]
+
+    idx = jax.lax.axis_index(axis_name)
+    row0 = idx.astype(jnp.int32) * sub_h
+    tab = jnp.concatenate(
+        [cur_pos[..., :3], cur_norm[..., :3], albedo[..., :3],
+         noisy[..., :3]], -1,
+    )  # [sub_h, W, 12]
+    ext = _extend_rows(tab, BLOCK_EDGE, n_bot, axis_name, n_shards, full_h,
+                       "symmetric")
+    ext = jnp.pad(ext, ((0, 0), (_PAD_L, _PAD_R), (0, 0)), mode="symmetric")
+
+    off = BLOCK_OFFSETS[frame_number % 16]
+    k_min = (row0 - off[1]) // BLOCK_EDGE     # first block touching row0
+    g0 = off[1] + BLOCK_EDGE * k_min          # its global start row <= row0
+    s = g0 - row0 + BLOCK_EDGE                # start row in ext, in (0, 32]
+    win = jax.lax.dynamic_slice(
+        ext, (s, _PAD_L + off[0], 0),
+        (BLOCK_EDGE * n_loc, n_blocks_x * BLOCK_EDGE, 12),
+    )
+    fitted_img = _fit_window(win, n_loc, n_blocks_x, frame_number, cfg)
+
+    canvas = jnp.pad(
+        noisy[..., :3], ((BLOCK_EDGE, n_bot), (_PAD_L, _PAD_R), (0, 0))
+    )
+    canvas = jax.lax.dynamic_update_slice(
+        canvas, fitted_img, (s, _PAD_L + off[0], 0)
+    )
+    new_rgb = canvas[BLOCK_EDGE:BLOCK_EDGE + sub_h, _PAD_L:_PAD_L + w]
+    return jnp.concatenate([new_rgb, noisy[..., 3:4]], -1)
+
+
 # ------------------------------------------------------------ postprocess
-def postprocess(state: BMFRState, filtered, accept, prev_pixel_f, cfg: BMFRConfig):
-    """Second temporal accumulation (postprocess.ps.hlsl)."""
+def postprocess(state: BMFRState, filtered, accept, prev_pixel_f, cfg: BMFRConfig,
+                *, hist=None, hist_y0=0):
+    """Second temporal accumulation (postprocess.ps.hlsl).
+
+    Sharded use: `hist` is the [Hh, W, 3] prev_filtered window with global
+    row `hist_y0` first, assembled with the SAME margin as preprocess so the
+    accept bits guarantee every accepted tap lies inside the window."""
     h, w = filtered.shape[0], filtered.shape[1]
     color = filtered[..., :3]
     spp = filtered[..., 3]
@@ -460,8 +574,10 @@ def postprocess(state: BMFRState, filtered, accept, prev_pixel_f, cfg: BMFRConfi
         frac[..., 0] * frac[..., 1],
     ]
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
-    pack = _pack_2x2(state.prev_filtered[..., :3])
-    taps = _gather_2x2(pack, base, h, w)  # [H, W, 12]
+    if hist is None:
+        hist = state.prev_filtered[..., :3]
+    pack = _pack_2x2(hist)
+    taps = _gather_2x2(pack, base, hist.shape[0], w, y0=hist_y0)  # [H, W, 12]
     prev_color = jnp.zeros_like(color)
     total_weight = jnp.zeros((h, w), jnp.float32)
     for i, _ in enumerate(offsets):
@@ -486,12 +602,21 @@ def postprocess(state: BMFRState, filtered, accept, prev_pixel_f, cfg: BMFRConfi
 
 
 # ------------------------------------------------------------- full pass
-def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig):
+def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig,
+              *, axis_name: str | None = None, n_shards: int = 1,
+              full_h: int | None = None):
     """Full denoise stage over the channel dict; returns (state, output).
 
     Follows DenoisePass::execute ordering exactly: preprocess -> history
     blits (noisy/norm/pos) -> regression -> postprocess -> blit accumulated
     into the output + filtered history.
+
+    Sharded mode (axis_name set, inside shard_map row sharding): history
+    and current channels are this shard's rows; reprojection taps come from
+    a +-`cfg.shard_history_margin`-row halo window exchanged over ICI (taps
+    reprojecting further than the margin are rejected like off-screen taps
+    — exact vs single-chip whenever inter-frame motion stays within the
+    margin), and regression runs per shard with exact 32-row block halos.
     """
     cur_pos = channels["WorldPosition"]
     cur_norm = channels["WorldNormal"]
@@ -502,24 +627,62 @@ def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig):
     if not cfg.enabled or not (cfg.preprocess or cfg.regression or cfg.postprocess):
         return state, noisy
 
+    sharded = axis_name is not None and n_shards > 1
+    sub_h = noisy.shape[0]
+    if full_h is None:
+        full_h = sub_h
+    margin = min(cfg.shard_history_margin, full_h)
+    if sharded:
+        row0 = jax.lax.axis_index(axis_name).astype(jnp.int32) * sub_h
+        hist_y0 = row0 - margin
+    else:
+        hist_y0 = 0
+
     accept = jnp.zeros(noisy.shape[:2], jnp.int32)
     xs = jnp.arange(noisy.shape[1], dtype=jnp.float32)[None, :]
     ys = jnp.arange(noisy.shape[0], dtype=jnp.float32)[:, None]
     prev_pixel_f = jnp.stack(jnp.broadcast_arrays(xs, ys), -1)
 
     if cfg.preprocess:
+        hist = None
+        if sharded:
+            hist = _extend_rows(
+                jnp.concatenate(
+                    [state.prev_pos[..., :3], state.prev_norm[..., :3],
+                     state.prev_noisy], -1,
+                ),
+                margin, margin, axis_name, n_shards, full_h, "zero",
+            )
         noisy, accept, prev_pixel_f = preprocess(
-            state, cur_pos, cur_norm, noisy, camera.prev_view_proj, cfg
+            state, cur_pos, cur_norm, noisy, camera.prev_view_proj, cfg,
+            hist=hist, hist_y0=hist_y0, full_h=full_h,
         )
 
     # history blits (DenoisePass.cpp:180-182)
     state = state.replace(prev_noisy=noisy, prev_norm=cur_norm, prev_pos=cur_pos)
 
     if cfg.regression:
-        noisy = regression(cur_pos, cur_norm, albedo, noisy, state.frame_number, cfg)
+        if sharded:
+            noisy = regression_sharded(
+                cur_pos, cur_norm, albedo, noisy, state.frame_number, cfg,
+                axis_name, n_shards, full_h,
+            )
+        else:
+            noisy = regression(
+                cur_pos, cur_norm, albedo, noisy, state.frame_number, cfg
+            )
 
     if cfg.postprocess:
-        accumulated = postprocess(state, noisy, accept, prev_pixel_f, cfg)
+        hist_f = None
+        if sharded:
+            hist_f = _extend_rows(
+                state.prev_filtered[..., :3],
+                margin, margin, axis_name, n_shards, full_h, "zero",
+            )
+        accumulated = postprocess(
+            state, noisy, accept, prev_pixel_f, cfg,
+            hist=hist_f, hist_y0=hist_y0,
+        )
         out = accumulated
         state = state.replace(prev_filtered=accumulated)
     else:

@@ -109,6 +109,12 @@ class BMFRConfig:
     normal_limit_sq: float = 1.0
     blend_alpha: float = 0.2
     second_blend_alpha: float = 0.1
+    # multi-chip only: rows of prev-frame history exchanged across shard
+    # boundaries for the reprojection taps (no reference equivalent — the
+    # reference is single-GPU).  Taps reprojecting further than this are
+    # rejected like off-screen taps; exact vs single-chip while inter-frame
+    # motion stays within the margin.
+    shard_history_margin: int = 64
 
 
 @dataclass(frozen=True)

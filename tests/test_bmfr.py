@@ -52,11 +52,24 @@ def test_block_features_match_mirror_gather(frame):
     pos, norm, albedo, noisy = (
         jnp.asarray(rs.rand(H, W, 4).astype(np.float32)) for _ in range(4)
     )
+    import jax
+
     n_bx = (W + 31) // 32 + 1
     n_by = (H + 31) // 32 + 1
-    feats, off, alb = bmfr._block_features(
-        pos, norm, albedo, noisy, jnp.int32(frame), n_bx, n_by
+    # the pad + dynamic_slice window path used by bmfr.regression
+    off = bmfr.BLOCK_OFFSETS[jnp.int32(frame) % 16]
+    tab_j = jnp.concatenate(
+        [pos[..., :3], norm[..., :3], albedo[..., :3], noisy[..., :3]], -1
     )
+    padded = jnp.pad(
+        tab_j, ((bmfr._PAD_L, bmfr._PAD_R), (bmfr._PAD_L, bmfr._PAD_R), (0, 0)),
+        mode="symmetric",
+    )
+    win = jax.lax.dynamic_slice(
+        padded, (bmfr._PAD_L + off[1], bmfr._PAD_L + off[0], 0),
+        (n_by * 32, n_bx * 32, 12),
+    )
+    feats, alb = bmfr._features_from_window(win, n_by, n_bx)
     # direct numpy mirror-gather oracle
     offx, offy = np.asarray(bmfr.BLOCK_OFFSETS)[frame % 16]
     tab = np.concatenate(
