@@ -324,11 +324,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
 
     if use_cluster:
         from . import pallas_cluster as pc
-        from ..ops.raysort import (
-            make_permutation,
-            ray_sort_keys_dirq,
-            scene_bounds,
-        )
+        from ..ops.raysort import ray_sort_keys_dirq, scene_bounds
 
         ck = pc.CK if hbm_tier else pc.pick_ck(n_tris)
         aabbs = pc.pack_cluster_aabbs(tris, ck)
@@ -353,27 +349,37 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
         def sort_wavefront(origin, direction, t_min, t_max):
             """Direction-major sort of an incoherent wavefront
             (ops.raysort.ray_sort_keys_dirq): returns (o, d, t_min, t_max,
-            inv) flat in sorted order.  Direction-coherent cells are what
-            the cluster kernels' per-cell culling + front-to-back visit
-            order need (divergent any-hit 73 -> 56 ms/1M incl. permutes,
-            benchmarks/divergent_micro.py)."""
+            idx) flat in sorted order, where idx is each sorted ray's
+            ORIGINAL index (unsort results by key-sorting on it).  One XLA
+            sort carrying the ray columns as payload — cheaper than
+            sort + inverse-scatter + permutation gather (a 12-payload sort
+            is ~13 ms/1M vs ~24 ms/1M per in-frame permutation gather,
+            benchmarks/vmem_gather_micro.py).  Direction-coherent cells are
+            what the cluster kernels' per-cell culling + front-to-back
+            visit order need (divergent any-hit 73 -> 56 ms/1M incl.
+            permutes, benchmarks/divergent_micro.py)."""
             shape = origin.shape[:-1]
             o = origin.reshape(-1, 3)
             d = direction.reshape(-1, 3)
             lo, hi = scene_bounds(tris)
-            perm, inv = make_permutation(ray_sort_keys_dirq(o, d, lo, hi))
+            keys = ray_sort_keys_dirq(o, d, lo, hi)
+            iota = jnp.arange(o.shape[0], dtype=jnp.int32)
             tn = jnp.broadcast_to(
                 jnp.asarray(t_min, jnp.float32), shape
-            ).reshape(-1, 1)
+            ).reshape(-1)
             if t_max is None:
-                tm = jnp.full((o.shape[0], 1), 1e30, jnp.float32)
+                tm = jnp.full((o.shape[0],), 1e30, jnp.float32)
             else:
                 tm = jnp.broadcast_to(
                     jnp.asarray(t_max, jnp.float32), shape
-                ).reshape(-1, 1)
-            packed = jnp.concatenate([o, d, tn, tm], -1)[perm]
-            return (packed[:, :3], packed[:, 3:6], packed[:, 6],
-                    packed[:, 7], inv, shape)
+                ).reshape(-1)
+            srt = jax.lax.sort(
+                [keys, o[:, 0], o[:, 1], o[:, 2],
+                 d[:, 0], d[:, 1], d[:, 2], tn, tm, iota],
+                num_keys=1,
+            )
+            return (jnp.stack(srt[1:4], -1), jnp.stack(srt[4:7], -1),
+                    srt[7], srt[8], srt[9], shape)
 
         def intersect(origin, direction, t_min, t_max=None, closest=True,
                       cull_backface=False, coherent=True):
@@ -385,7 +391,7 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                         interpret=interp,
                     )
                 else:
-                    o, d, tn, tm, inv, shape = sort_wavefront(
+                    o, d, tn, tm, idx, shape = sort_wavefront(
                         origin, direction, t_min, t_max
                     )
                     occ_s = occluded_fn(
@@ -393,7 +399,10 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                         tri_pack=occ_pack, aabbs=aabbs, ck=ck,
                         interpret=interp, directional=True,
                     )
-                    occ = occ_s[inv].reshape(shape)
+                    # unsort by key-sorting on the original index
+                    occ = jax.lax.sort(
+                        [idx, occ_s.astype(jnp.int32)], num_keys=1
+                    )[1].astype(bool).reshape(shape)
                 zero = jnp.zeros(occ.shape, jnp.float32)
                 return HitRecord(
                     t=jnp.where(occ, zero, _BIG),
@@ -418,20 +427,20 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
 
             if coherent:
                 return run_closest(origin, direction, t_min, t_max)
-            o, d, tn, tm, inv, shape = sort_wavefront(
+            o, d, tn, tm, idx, shape = sort_wavefront(
                 origin, direction, t_min, t_max
             )
             hit_s = run_closest(o, d, tn, tm, directional=True)
-            packed = jnp.stack(
-                [hit_s.t, hit_s.tri.astype(jnp.float32),
-                 hit_s.bary_u, hit_s.bary_v], -1,
-            )[inv]
-            tri = packed[..., 1].astype(jnp.int32).reshape(shape)
+            out = jax.lax.sort(
+                [idx, hit_s.t, hit_s.tri.astype(jnp.float32),
+                 hit_s.bary_u, hit_s.bary_v],
+                num_keys=1,
+            )[1:]
             return HitRecord(
-                t=packed[..., 0].reshape(shape),
-                tri=tri,
-                bary_u=packed[..., 2].reshape(shape),
-                bary_v=packed[..., 3].reshape(shape),
+                t=out[0].reshape(shape),
+                tri=out[1].astype(jnp.int32).reshape(shape),
+                bary_u=out[2].reshape(shape),
+                bary_v=out[3].reshape(shape),
             )
 
         return intersect

@@ -372,11 +372,7 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
             pick_ck,
         )
         from ..accel.traverse import HitRecord as _HitRecord
-        from .raysort import (
-            make_permutation,
-            ray_sort_keys_dirq,
-            scene_bounds,
-        )
+        from .raysort import ray_sort_keys_dirq, scene_bounds
 
         ck = pick_ck(n_tris)
         interp = jax.default_backend() != "tpu"
@@ -408,69 +404,93 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
                 # Direction-major sort (ops.raysort dirq keys) so cluster
                 # culling + front-to-back visit order see direction-coherent
                 # cells (bounce closest 117.9 -> ~88 ms/1M on pink_room,
-                # benchmarks/divergent_micro.py).  The decode runs in SORTED
-                # space; the inverse permutation moves only what downstream
-                # consumes, split into <=16-column gathers (the TPU gather
-                # width cliff): 16 shading cols + 6 hit/uv cols.  pos/v/
-                # n_dot_v are recomputed from unsorted rays instead of
-                # permuted (exact: same formulas the decode used).
+                # benchmarks/divergent_micro.py).  Both permutations ride
+                # XLA sorts CARRYING their payload columns instead of
+                # permutation gathers: an N-key sort with 12 payload columns
+                # is ~13 ms/1M on v5e (benchmarks/vmem_gather_micro.py)
+                # while each in-frame multi-column permutation gather is
+                # ~24 ms/1M.  Forward: key = dirq, payload = ray columns +
+                # the original index.  Backward: key = original index,
+                # payload = the decoded shading/hit columns.  pos/v/n_dot_v
+                # are recomputed from unsorted rays (exact: same formulas
+                # the decode used).
                 shape = origin.shape[:-1]
                 o = origin.reshape(-1, 3)
                 d = direction.reshape(-1, 3)
-                vo = jnp.broadcast_to(
+                nflat = o.shape[0]
+                f32 = jnp.float32
+                same_vo = view_origin is origin
+                vo = None if same_vo else jnp.broadcast_to(
                     view_origin, origin.shape
                 ).reshape(-1, 3)
                 tmin_flat = jnp.broadcast_to(
-                    jnp.asarray(t_min, jnp.float32), shape
-                ).reshape(-1, 1)
+                    jnp.asarray(t_min, f32), shape
+                ).reshape(-1)
                 lo, hi = scene_bounds(baked.tris)
-                perm, inv = make_permutation(ray_sort_keys_dirq(o, d, lo, hi))
-                packed = jnp.concatenate([o, d, vo, tmin_flat], -1)[perm]
+                keys = ray_sort_keys_dirq(o, d, lo, hi)
+                iota = jnp.arange(nflat, dtype=jnp.int32)
+                fwd_cols = [o[:, 0], o[:, 1], o[:, 2],
+                            d[:, 0], d[:, 1], d[:, 2], tmin_flat, iota]
+                if vo is not None:
+                    fwd_cols += [vo[:, 0], vo[:, 1], vo[:, 2]]
+                srt = jax.lax.sort([keys] + fwd_cols, num_keys=1)
+                o_s = jnp.stack(srt[1:4], -1)
+                d_s = jnp.stack(srt[4:7], -1)
+                tmin_s = srt[7]
+                idx_s = srt[8]
+                vo_s = o_s if same_vo else jnp.stack(srt[9:12], -1)
                 hit_s, ffm_s = intersect_shaded_clusters_fm(
-                    baked.tris, pack, aabbs, packed[:, 0:3], packed[:, 3:6],
-                    packed[:, 9], cull_backface=cull_backface, ck=ck,
+                    baked.tris, pack, aabbs, o_s, d_s, tmin_s,
+                    cull_backface=cull_backface, ck=ck,
                     interpret=interp, directional=True,
                 )
                 sd_s = shading_from_fields_fm(
-                    ffm_s, baked.data.textures, hit_s, packed[:, 0:3],
-                    packed[:, 3:6], packed[:, 6:9]
+                    ffm_s, baked.data.textures, hit_s, o_s, d_s, vo_s
                 )
-                f32 = jnp.float32
-                pack_a = jnp.concatenate([
-                    sd_s.n, sd_s.diffuse, sd_s.specular,
-                    sd_s.linear_roughness[:, None], sd_s.emissive,
-                    sd_s.opacity[:, None], sd_s.ior[:, None],
-                    sd_s.material_id.astype(f32)[:, None],
-                ], -1)[inv]                                   # [N, 16]
-                pack_b = jnp.concatenate([
-                    sd_s.uv, hit_s.t[:, None],
-                    hit_s.tri.astype(f32)[:, None],
-                    hit_s.bary_u[:, None], hit_s.bary_v[:, None],
-                ], -1)[inv]                                   # [N, 6]
-                tri = pack_b[:, 3].astype(jnp.int32).reshape(shape)
-                t_ = pack_b[:, 2].reshape(shape)
+                back_cols = [
+                    sd_s.n[:, 0], sd_s.n[:, 1], sd_s.n[:, 2],
+                    sd_s.diffuse[:, 0], sd_s.diffuse[:, 1], sd_s.diffuse[:, 2],
+                    sd_s.specular[:, 0], sd_s.specular[:, 1],
+                    sd_s.specular[:, 2],
+                    sd_s.linear_roughness,
+                    sd_s.emissive[:, 0], sd_s.emissive[:, 1],
+                    sd_s.emissive[:, 2],
+                    sd_s.opacity, sd_s.ior,
+                    sd_s.material_id.astype(f32),
+                    sd_s.uv[:, 0], sd_s.uv[:, 1],
+                    hit_s.t, hit_s.tri.astype(f32),
+                    hit_s.bary_u, hit_s.bary_v,
+                ]
+                # two sorts of <=11 payload columns: XLA sorts with >16
+                # payload operands hit a pathological remote-compile path
+                # (>20 min vs minutes; benchmarks/vmem_gather2_micro.py)
+                out = (
+                    jax.lax.sort([idx_s] + back_cols[:11], num_keys=1)[1:]
+                    + jax.lax.sort([idx_s] + back_cols[11:], num_keys=1)[1:]
+                )
+                t_ = out[18].reshape(shape)
                 hit = _HitRecord(
-                    t=t_, tri=tri,
-                    bary_u=pack_b[:, 4].reshape(shape),
-                    bary_v=pack_b[:, 5].reshape(shape),
+                    t=t_, tri=out[19].astype(jnp.int32).reshape(shape),
+                    bary_u=out[20].reshape(shape),
+                    bary_v=out[21].reshape(shape),
                 )
-                n = pack_a[:, 0:3].reshape(shape + (3,))
-                lr = pack_a[:, 9].reshape(shape)
+                n = jnp.stack(out[0:3], -1).reshape(shape + (3,))
+                lr = out[9].reshape(shape)
                 pos = origin + t_[..., None] * direction
                 v = normalize(
                     jnp.broadcast_to(view_origin, origin.shape) - pos
                 )
                 sd = ShadingData(
                     pos_w=pos, n=n, v=v,
-                    uv=pack_b[:, 0:2].reshape(shape + (2,)),
-                    diffuse=pack_a[:, 3:6].reshape(shape + (3,)),
-                    specular=pack_a[:, 6:9].reshape(shape + (3,)),
+                    uv=jnp.stack(out[16:18], -1).reshape(shape + (2,)),
+                    diffuse=jnp.stack(out[3:6], -1).reshape(shape + (3,)),
+                    specular=jnp.stack(out[6:9], -1).reshape(shape + (3,)),
                     linear_roughness=lr, roughness=lr * lr,
-                    emissive=pack_a[:, 10:13].reshape(shape + (3,)),
-                    opacity=pack_a[:, 13].reshape(shape),
-                    ior=pack_a[:, 14].reshape(shape),
+                    emissive=jnp.stack(out[10:13], -1).reshape(shape + (3,)),
+                    opacity=out[13].reshape(shape),
+                    ior=out[14].reshape(shape),
                     n_dot_v=dot(n, v),
-                    material_id=pack_a[:, 15].astype(jnp.int32).reshape(shape),
+                    material_id=out[15].astype(jnp.int32).reshape(shape),
                 )
                 return hit, sd
             hit, fields_fm = intersect_shaded_clusters_fm(
