@@ -191,3 +191,90 @@ def render_depth2(width, height, cam_pos, cam_u, cam_v, cam_w, spp, seed=0):
         sample[hit] = clamp(ah * contrib / 3.0)
         acc += sample
     return (term1 + acc / spp).reshape(height, width, 3), hit.reshape(height, width)
+
+
+# ---------------- estimator 2 (light tracing) oracle ----------------
+
+def _ball_sample(rs, n):
+    """Uniform point in the unit ball (rejection, like MaterialUtils
+    unit-sphere loop — the pipeline's unit_sphere_sample)."""
+    p = rs.rand(n, 3) * 2.0 - 1.0
+    bad = (p ** 2).sum(1) > 1.0
+    while bad.any():
+        p[bad] = rs.rand(int(bad.sum()), 3) * 2.0 - 1.0
+        bad = (p ** 2).sum(1) > 1.0
+    return p
+
+
+def _cos_hemi_reference(rs, axis):
+    """getCosHemisphereSample with a possibly UNNORMALIZED axis (the
+    reference quirk: sampleLight feeds the raw ball point as the lobe axis,
+    BDPTUtils.hlsli:140-152 + MaterialUtils.hlsli:41-54)."""
+    n = len(axis)
+    a = np.abs(axis)
+    xm = ((a[:, 0] - a[:, 1]) < 0) & ((a[:, 0] - a[:, 2]) < 0)
+    ym = np.where(xm, False, (a[:, 1] - a[:, 2]) < 0)
+    zm = ~(xm | ym)
+    pick = np.stack([xm, ym, zm], 1).astype(np.float64)
+    bit = np.cross(axis, pick)
+    bit /= np.linalg.norm(bit, axis=1, keepdims=True)
+    tan = np.cross(bit, axis)  # length = |axis| (bit is unit, perp to axis)
+    u0 = rs.rand(n)
+    u1 = rs.rand(n)
+    r = np.sqrt(u0)
+    phi = 2.0 * np.pi * u1
+    return (tan * (r * np.cos(phi))[:, None]
+            + bit * (r * np.sin(phi))[:, None]
+            + axis * np.sqrt(np.maximum(0.0, 1.0 - u0))[:, None])
+
+
+def _project_to_pixel(dirs, cam_pos, cam_u, cam_v, cam_w, width, height):
+    """getLaunchIndexFromDirection (BDPTUtils.hlsli:129-138), jitter 0.5."""
+    d1 = dirs @ cam_u / (cam_u @ cam_u)
+    d2 = dirs @ cam_v / (cam_v @ cam_v)
+    d3 = dirs @ cam_w / (cam_w @ cam_w)
+    ndc_x = d1 / d3
+    ndc_y = -d2 / d3
+    px = (ndc_x * 0.5 + 0.5) * width - 0.5
+    py = (ndc_y * 0.5 + 0.5) * height - 0.5
+    # np.rint = round-half-to-even, same as jnp.round
+    return np.rint(px).astype(np.int64), np.rint(py).astype(np.int64)
+
+
+def render_est2(width, height, cam_pos, cam_u, cam_v, cam_w, frames, seed=0):
+    """Light-tracing-only frames, averaged (estimator 2, depth-1 light
+    subpath): each frame traces one light path per VALID camera pixel (the
+    reference's background early-out skips every estimator for launch
+    indices whose primary ray missed, BDPTMain.rt.hlsl:62-66), splats
+    intensity * albedo * G / 2 (clamped) at the camera-projected pixel, and
+    saturates the frame like the pipeline (bdpt_pass est-2 block).  Shares
+    no code with the pipeline; equations from BDPTMain.rt.hlsl:171-208."""
+    rs = np.random.RandomState(seed)
+    cam_o, cam_d = camera_rays(width, height, cam_pos, cam_u, cam_v, cam_w)
+    _, _, _, cam_hit = intersect(cam_o, cam_d)
+    n_paths = int(cam_hit.sum())
+    camera_n = cam_w / np.linalg.norm(cam_w)
+    acc = np.zeros((height * width, 3))
+    for _ in range(frames):
+        axis = _ball_sample(rs, n_paths)
+        d = _cos_hemi_reference(rs, axis)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o = np.broadcast_to(LIGHT_POS.astype(np.float64), (n_paths, 3))
+        t, n, alb, hit = intersect(o, d)
+        x = _advance(o, t, d)
+        to_cam = cam_pos[None, :] - x
+        dis = np.linalg.norm(to_cam, axis=1)
+        dirc = to_cam / dis[:, None]
+        facing = dirc @ camera_n < 0.0
+        vis = shadow_visible(x, dis, dirc)
+        g = (np.clip(np.abs(dirc @ camera_n), 0, 1)
+             * np.clip(np.abs((dirc * n).sum(1)), 0, 1) / (dis * dis))
+        shade = clamp(LIGHT_INTENSITY[None, :] * alb * g[:, None] / 2.0)
+        ix, iy = _project_to_pixel(dirc, cam_pos, cam_u, cam_v, cam_w,
+                                   width, height)
+        ok = (hit & facing & vis
+              & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height))
+        frame = np.zeros((height * width, 3))
+        np.add.at(frame, (iy * width + ix)[ok], shade[ok])
+        acc += np.clip(frame, 0.0, 1.0)
+    return (acc / frames).reshape(height, width, 3)

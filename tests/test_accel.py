@@ -129,3 +129,32 @@ def test_fused_shaded_tracer_matches_fallback(cornell):
     np.testing.assert_array_equal(
         np.asarray(s0.material_id)[hit], np.asarray(s1.material_id)[hit]
     )
+
+
+def test_native_bvh_builder_matches_numpy():
+    """The C++ builder (native/bvh_builder.cc) must reproduce the numpy
+    builder bit-for-bit: same split logic -> same tri_order -> same cluster
+    performance profile.  Skipped when libbvh_builder.so isn't built."""
+    from fyp_bidirectionalpathtracer_tpu.accel import bvh as bvh_mod
+    from fyp_bidirectionalpathtracer_tpu.accel import native
+
+    rs = np.random.RandomState(0)
+    pos = rs.rand(300, 3).astype(np.float32)
+    idx = rs.randint(0, 300, (200, 3)).astype(np.int64)
+    for leaf in (1, 4, 16):
+        nat = native.build_sah_native(pos, idx, leaf)
+        if nat is None:
+            import pytest
+
+            pytest.skip("native BVH builder not built (make -C native)")
+        orig = bvh_mod.build_sah_native
+        bvh_mod.build_sah_native = lambda *a, **k: None
+        try:
+            py = bvh_mod.build_bvh(pos, idx, leaf)
+        finally:
+            bvh_mod.build_sah_native = orig
+        for k, v in py.items():
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(nat[k]),
+                err_msg=f"{k} (leaf_size={leaf})",
+            )
