@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 def time_scene(name: str, width: int, height: int, depth: int,
                warmup: int = 3, iters: int = 10,
-               sort_bounces: bool = False) -> dict:
+               sort_bounces: bool = False,
+               const_scene: bool = False) -> dict:
     from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
     from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
         BDPT_FRAME_INIT,
@@ -37,16 +38,29 @@ def time_scene(name: str, width: int, height: int, depth: int,
                                        sort_bounces=sort_bounces))
     scene = load_scene(name)
     baked = scene.bake(max_lights=max(16, len(scene.lights)))
-    fn = jax.jit(functools.partial(render_frame_fn, cfg=cfg))
+    if const_scene:
+        # close the baked scene over the jit: every scene table becomes an
+        # XLA constant (gathers from constant tables measured 8-13 ms/1M vs
+        # ~24 ms/1M argument-resident — benchmarks/gather_tier_micro.py)
+        fn_c = jax.jit(
+            lambda camera, accum, bmfr, gf, bf, reset: render_frame_fn(
+                baked, camera, accum, bmfr, gf, bf, reset, cfg=cfg))
+
+        def step(i, accum, bmfr):
+            return fn_c(baked.data.camera, accum, bmfr,
+                        jnp.uint32(GBUF_FRAME_INIT + i),
+                        jnp.uint32(BDPT_FRAME_INIT + i), reset)
+    else:
+        fn = jax.jit(functools.partial(render_frame_fn, cfg=cfg))
+
+        def step(i, accum, bmfr):
+            return fn(baked, baked.data.camera, accum, bmfr,
+                      jnp.uint32(GBUF_FRAME_INIT + i),
+                      jnp.uint32(BDPT_FRAME_INIT + i), reset)
 
     accum = AccumState.create(height, width)
     bmfr = BMFRState.create(height, width)
     reset = jnp.asarray(False)
-
-    def step(i, accum, bmfr):
-        return fn(baked, baked.data.camera, accum, bmfr,
-                  jnp.uint32(GBUF_FRAME_INIT + i),
-                  jnp.uint32(BDPT_FRAME_INIT + i), reset)
 
     for i in range(warmup):
         ch, accum, bmfr = step(i, accum, bmfr)
@@ -59,7 +73,7 @@ def time_scene(name: str, width: int, height: int, depth: int,
     tris = int(baked.tris.v0.shape[0])
     return {"scene": name, "ms_per_frame": round(dt * 1e3, 2),
             "tris": tris, "resolution": f"{width}x{height}", "depth": depth,
-            "sort_bounces": sort_bounces}
+            "sort_bounces": sort_bounces, "const_scene": const_scene}
 
 
 def main():
@@ -68,11 +82,13 @@ def main():
     p.add_argument("--size", default="1280x720")
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--sort-bounces", action="store_true")
+    p.add_argument("--const-scene", action="store_true")
     args = p.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     for name in args.scenes or ["textured"]:
         print(json.dumps(time_scene(name, w, h, args.depth,
-                                    sort_bounces=args.sort_bounces)),
+                                    sort_bounces=args.sort_bounces,
+                                    const_scene=args.const_scene)),
               flush=True)
 
 

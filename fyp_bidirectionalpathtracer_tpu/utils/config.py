@@ -62,12 +62,16 @@ class BDPTConfig:
     # an argument-resident atlas) = ~155 ms/frame, more than the whole
     # wavefront.  Re-default if taps drop below ~8 ms/1M.
     defer_textures: bool = False
-    # Morton-sort bounce wavefronts before the cluster-tier closest trace
-    # (ops.raysort): BRDF-sampled extension rays have coherent origins but
-    # scattered directions, which defeats the [8,128]-tile AABB culling of
-    # accel.pallas_cluster.  No effect on dense/jnp tiers (order-
-    # insensitive) or on the image (the permutation is inverted).
-    sort_bounces: bool = False
+    # Direction-major-sort bounce wavefronts before the cluster-tier closest
+    # trace (ops.raysort dirq keys): BRDF-sampled extension rays have
+    # coherent origins but scattered directions, which defeats the
+    # [8,128]-tile AABB culling of accel.pallas_cluster.  No effect on
+    # dense/jnp tiers (order-insensitive) or on the image (the permutation
+    # is inverted).  Default ON since the permutations ride payload-carrying
+    # sorts: pink_room 1278 -> 1130 ms/frame at 720p d=3 (was net-NEGATIVE,
+    # 1351 -> 1435, when the unsort was two 11-column permutation gathers —
+    # benchmarks/vmem_gather_micro.py, scene_frame_micro.py).
+    sort_bounces: bool = True
 
 
 @dataclass(frozen=True)
