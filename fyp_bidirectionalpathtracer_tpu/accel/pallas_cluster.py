@@ -222,6 +222,98 @@ def cell_cluster_order(rows, aabbs, n_cells: int, directional: bool = False):
     return jnp.argsort(key, axis=1).astype(jnp.int32)[:, None, :]
 
 
+def cell_cluster_shortlist(rows, aabbs, n_cells: int,
+                           directional: bool = False):
+    """Per-cell cluster shortlist: (order [cells,1,C] int32,
+    ngroups [cells,1] int32).
+
+    `order` lists the clusters whose AABB *conservatively* overlaps the
+    cell's ray bundle first (front-to-back by the cell_cluster_order key),
+    the rest after; `ngroups` = ceil(overlap_count / G) bounds the kernel's
+    group loop.  The in-kernel per-cluster slab test used to be the only
+    cull, which made every cell scan all C clusters' groups — measured
+    ~1.5 us of vector->scalar sync per group, a ~30 us/cell floor at
+    pink_room's 165 clusters (benchmarks/pink_micro.py).  Hoisting a
+    bundle-level cull into XLA prep makes the loop bound per-cell tight.
+
+    The bundle test is interval arithmetic over the cell's live lanes
+    (tmax > tmin excludes rays_to_rows padding and alpha-restart inert
+    lanes): origin box [olo,ohi], per-axis bounds of the kernel's own
+    inv(d) values (so exact-zero components bound to the kernel's +-2e12
+    sentinels rather than widening to "unconstrained"), t in
+    [min tmin, max tmax].  Per axis, the slab candidates (blo-o)*inv_d and
+    (bhi-o)*inv_d are bounded by interval products.  actual per-ray overlap
+    =>  bundle overlap, so a shortlist miss is impossible (proved in
+    tests/test_cluster_shortlist.py against exact per-ray slabs).  This
+    mirrors what DXR gets from hardware frustum/packet heuristics inside
+    TraceRay (RtScene.cpp:220-308) — the wavefront analogue of packet
+    traversal."""
+    c = aabbs.shape[0]
+    big = jnp.float32(_BIG)
+    f = rows.reshape(8, n_cells, -1)                    # [8, cells, S*LANE]
+    live = f[7] > f[6]
+    any_live = jnp.any(live, axis=-1)                   # [cells]
+
+    def mn(x):
+        return jnp.where(live, x, big).min(axis=-1)
+
+    def mx(x):
+        return jnp.where(live, x, -big).max(axis=-1)
+
+    def inv(dk):  # _ray_tiles' inv, elementwise per ray
+        return jnp.where(
+            jnp.abs(dk) > 1e-12,
+            1.0 / jnp.where(jnp.abs(dk) > 1e-12, dk, 1.0),
+            jnp.where(dk >= 0, 2e12, -2e12),
+        )
+
+    olo = jnp.stack([mn(f[k]) for k in range(3)], -1)   # [cells, 3]
+    ohi = jnp.stack([mx(f[k]) for k in range(3)], -1)
+    ilo = jnp.stack([mn(inv(f[k + 3])) for k in range(3)], -1)[:, None, :]
+    ihi = jnp.stack([mx(inv(f[k + 3])) for k in range(3)], -1)[:, None, :]
+    t_lo = mn(f[6])                                     # [cells]
+    t_hi = mx(f[7])
+
+    blo = aabbs[None, :, 0:3]                           # [1, C, 3]
+    bhi = aabbs[None, :, 3:6]
+
+    def pbounds(xlo, xhi):
+        """Interval product bounds of [xlo,xhi] * [ilo,ihi]."""
+        p1, p2, p3, p4 = xlo * ilo, xlo * ihi, xhi * ilo, xhi * ihi
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    ta_lo, ta_hi = pbounds(blo - ohi[:, None, :], blo - olo[:, None, :])
+    tb_lo, tb_hi = pbounds(bhi - ohi[:, None, :], bhi - olo[:, None, :])
+    near = jnp.minimum(ta_lo, tb_lo)                    # [cells, C, 3]
+    far = jnp.maximum(ta_hi, tb_hi)
+    t_enter = near.max(-1)                              # [cells, C]
+    t_exit = far.min(-1)
+    overlap = (
+        (t_enter <= t_exit)
+        & (t_exit >= t_lo[:, None])
+        & (t_enter <= t_hi[:, None])
+        & any_live[:, None]
+        & jnp.isfinite(aabbs[None, :, 0])               # skip all-pad clusters
+    )
+
+    o = f[0:3].mean(axis=-1)                            # [3, cells]
+    cc = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])          # [C, 3]
+    rel = cc[None, :, :] - o.T[:, None, :]              # [cells, C, 3]
+    if directional:
+        dm = f[3:6].mean(axis=-1)
+        proj = (rel * dm.T[:, None, :]).sum(-1)
+        key = jnp.where(proj >= 0.0, proj, 1e9 - proj)
+    else:
+        key = (rel ** 2).sum(-1)
+    key = jnp.where(overlap, key, big)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)[:, None, :]
+    count = overlap.sum(axis=1).astype(jnp.int32)
+    ngroups = -(-count // G)
+    # [cells, 1, 1]: SMEM blocks must match the array's trailing two dims
+    return order, ngroups[:, None, None]
+
+
 # ----------------------------------------------------------------- kernels
 def _ray_tiles(r_ref):
     """Load the 8 ray-field rows as [S, 128] tiles."""
@@ -254,17 +346,37 @@ G = 8  # clusters per culling group (one scalar branch per group)
 # group branches.
 
 
+def _or_reduce_bits(mask):
+    """[S, LANE] i32 per-lane bitmask -> ONE scalar holding the OR of every
+    lane: sublane halving joins, then log2(LANE) lane rotations
+    (pltpu.roll).  All pure vector work until the single element read, so
+    extracting G per-cluster predicates costs one vector->scalar sync
+    instead of G."""
+    m = mask
+    s = m.shape[0]
+    while s > 1:
+        s //= 2
+        m = m[:s] | m[s:2 * s]
+    sh = LANE // 2
+    while sh >= 1:
+        m = m | pltpu.roll(m, sh, 1)
+        sh //= 2
+    return m[0, 0]
+
+
 def _group_overlaps(order_ref, aabb_ref, g, o, inv_d, tmin, tmax, n_clusters):
     """Slab-test the G ordered clusters of group g in one vector pass.
 
-    Returns (cluster ids [G], per-cluster [S,LANE] overlap masks [G],
-    group_any scalar).  The vector->scalar sync + branch is the dominant
-    per-cluster cost of the naive loop (~1-2 us each, measured: cell time
-    scales with cluster COUNT not tested clusters); batching G slab tests
-    behind ONE reduction+branch cuts that overhead G-fold for culled
-    groups."""
-    cs, ovs = [], []
-    acc = None
+    Returns (cluster ids [G], bits scalar: bit j set iff some lane overlaps
+    cluster j).  Folding all G overlap masks into one per-lane bitmask and
+    OR-reducing it (_or_reduce_bits) leaves ONE vector->scalar sync per
+    group; per-cluster predicates are scalar bit tests.  (Row-resolution
+    gating was tried and REGRESSED ~10-50%: within a dirq-sorted cell the
+    8 sublane rows are near-identical ray distributions — the sort makes
+    coherence vary BETWEEN cells, not within — so per-row branches skip
+    almost nothing and their overhead is pure loss.)"""
+    cs = []
+    mask = None
     for j in range(G):
         idx = g * G + j
         in_range = idx < n_clusters          # traced bool (grid-static g)
@@ -272,10 +384,9 @@ def _group_overlaps(order_ref, aabb_ref, g, o, inv_d, tmin, tmax, n_clusters):
         ov = _slab_tiles(aabb_ref, c_j, o, inv_d, tmin, tmax)
         ov = ov & in_range
         cs.append(c_j)
-        ovs.append(ov)
-        acc = ov if acc is None else (acc | ov)
-    group_any = jnp.sum(acc.astype(jnp.float32)) > 0.0
-    return cs, ovs, group_any
+        bit = ov.astype(jnp.int32) << j
+        mask = bit if mask is None else (mask | bit)
+    return cs, _or_reduce_bits(mask)
 
 
 def _pair_test_block(blk, ox, oy, oz, dx, dy, dz, tmin, tmax, cull_backface):
@@ -368,7 +479,7 @@ def _bary_fetch(blk12, c, ck, bid, fet_ref):
 
 
 def _cluster_occlusion_kernel(
-    r_ref, aabb_ref, order_ref, tri_ref, out_ref, occ_ref,
+    r_ref, aabb_ref, order_ref, ng_ref, tri_ref, out_ref, occ_ref,
     *, n_clusters, ck, n_tris
 ):
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
@@ -376,27 +487,28 @@ def _cluster_occlusion_kernel(
 
     def body(g, _):
         open_ = occ_ref[...] == 0.0
-        cs, ovs, group_any = _group_overlaps(
+        cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin,
             jnp.where(open_, tmax, -_BIG), n_clusters,
         )
 
-        @pl.when(group_any)
+        @pl.when(bits != 0)
         def _():
             for j in range(G):
                 c = cs[j]
-                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
 
-                @pl.when(pred)
+                @pl.when(((bits >> j) & 1) != 0)
                 def _():
                     blk = tri_ref[pl.ds(c * ck, ck), :]
                     _occl_accumulate(
-                        blk, c, ck, n_tris, o, d, tmin, tmax, occ_ref
+                        blk, c, ck, n_tris, o, d, tmin, tmax, occ_ref,
                     )
 
         return 0
 
-    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
+    # loop only the groups holding this cell's conservative shortlist
+    # (cell_cluster_shortlist); entries past the count slab-cull in-kernel
+    jax.lax.fori_loop(0, ng_ref[0, 0, 0], body, 0)
     out_ref[...] = occ_ref[...]
 
 
@@ -417,26 +529,22 @@ def _cluster_occlusion_hbm_kernel(
 
     def body(g, _):
         open_ = occ_ref[...] == 0.0
-        cs, ovs, group_any = _group_overlaps(
+        cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin,
             jnp.where(open_, tmax, -_BIG), n_clusters,
         )
 
-        @pl.when(group_any)
+        @pl.when(bits != 0)
         def _():
             for j in range(G):
-                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
-
-                @pl.when(pred)
-                def _():
+                @pl.when(((bits >> j) & 1) != 0)
+                def _(j=j):
                     pltpu.make_async_copy(
                         tri_hbm.at[pl.ds(cs[j] * ck, ck), :], blks[j], sems[j]
                     ).start()
             for j in range(G):
-                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
-
-                @pl.when(pred)
-                def _():
+                @pl.when(((bits >> j) & 1) != 0)
+                def _(j=j):
                     pltpu.make_async_copy(
                         tri_hbm.at[pl.ds(cs[j] * ck, ck), :], blks[j], sems[j]
                     ).wait()
@@ -478,25 +586,21 @@ def _cluster_closest_hbm_kernel(
 
     def body(g, _):
         best = bt_ref[...]
-        cs, ovs, group_any = _group_overlaps(
+        cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
         )
 
-        @pl.when(group_any)
+        @pl.when(bits != 0)
         def _():
             for j in range(G):
-                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
-
-                @pl.when(pred)
-                def _():
+                @pl.when(((bits >> j) & 1) != 0)
+                def _(j=j):
                     pltpu.make_async_copy(
                         tri_hbm.at[pl.ds(cs[j] * ck, ck), :], blks[j], sems[j]
                     ).start()
             for j in range(G):
-                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
-
-                @pl.when(pred)
-                def _():
+                @pl.when(((bits >> j) & 1) != 0)
+                def _(j=j):
                     pltpu.make_async_copy(
                         tri_hbm.at[pl.ds(cs[j] * ck, ck), :], blks[j], sems[j]
                     ).wait()
@@ -557,8 +661,43 @@ def _cluster_closest_hbm_kernel(
     out_ref[3] = v_acc * hit_f
 
 
+def _shortlist_fetch_loop(order_ref, ng, ck, n_clusters, bid, visit):
+    """Winner-attribute fetch over shortlisted clusters only.
+
+    `visit(c, in_c)` runs the per-cluster fetch; winners can only live in
+    clusters the body loop visited (proxy seeds are real hits, whose
+    clusters the conservative shortlist necessarily contains), so the same
+    ng bound applies.  The in_range guard matters for correctness here:
+    clamped duplicate reads past the shortlist would double-accumulate a
+    winner's one-hot fetch."""
+    def fetch(g, _):
+        cs, masks = [], []
+        mask = None
+        for j in range(G):
+            idx = g * G + j
+            in_range = idx < n_clusters
+            c_j = order_ref[0, 0, jnp.minimum(idx, n_clusters - 1)]
+            in_c = (bid >= c_j * ck) & (bid < (c_j + 1) * ck) & in_range
+            cs.append(c_j)
+            masks.append(in_c)
+            bit = in_c.astype(jnp.int32) << j
+            mask = bit if mask is None else (mask | bit)
+        bits = _or_reduce_bits(mask)
+
+        @pl.when(bits != 0)
+        def _():
+            for j in range(G):
+                @pl.when(((bits >> j) & 1) != 0)
+                def _(j=j):
+                    visit(cs[j], masks[j])
+
+        return 0
+
+    jax.lax.fori_loop(0, ng, fetch, 0)
+
+
 def _cluster_shaded_kernel(
-    r_ref, aabb_ref, order_ref, tri_ref, *rest,
+    r_ref, aabb_ref, order_ref, ng_ref, tri_ref, *rest,
     n_clusters, ck, n_tris, cull_backface, use_proxy=False,
 ):
     if use_proxy:
@@ -574,85 +713,44 @@ def _cluster_shaded_kernel(
 
     def body(g, _):
         best = bt_ref[...]
-        cs, ovs, group_any = _group_overlaps(
+        cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
         )
 
-        @pl.when(group_any)
+        @pl.when(bits != 0)
         def _():
           for j in range(G):
             c = cs[j]
-            pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
 
-            @pl.when(pred)
-            def _():
-              blk = tri_ref[pl.ds(c * ck, ck), :]
-              sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
-              sub_f = sub.astype(jnp.float32)
-              tri_ids = sub + c * ck
-              in_scene = tri_ids < n_tris
-              for s in range(S):
-                best_t = bt_ref[s:s + 1, :]
-                valid, t = _pair_test_block(
-                    blk,
-                    o[0][s:s + 1], o[1][s:s + 1], o[2][s:s + 1],
-                    d[0][s:s + 1], d[1][s:s + 1], d[2][s:s + 1],
-                    tmin[s:s + 1], best_t, cull_backface,
-                )
-                valid = valid & in_scene
-                t_m = jnp.where(valid, t, _BIG)
-                col_min = jnp.min(t_m, axis=0, keepdims=True)
-                improved = col_min < best_t
-                is_min = (t_m == col_min) & valid
-                first = jnp.min(
-                    jnp.where(is_min, sub_f, 1e9), axis=0, keepdims=True
-                )
-                pick = (sub_f == first) & is_min
-                new_id = jnp.sum(
-                    jnp.where(pick, tri_ids, 0), axis=0, keepdims=True
-                )
-                bid_ref[s:s + 1, :] = jnp.where(
-                    improved, new_id, bid_ref[s:s + 1, :]
-                )
-                bt_ref[s:s + 1, :] = jnp.where(improved, col_min, best_t)
+            @pl.when(((bits >> j) & 1) != 0)
+            def _(c=c):
+              _closest_update(
+                  tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d,
+                  tmin, cull_backface, bt_ref, bid_ref,
+              )
 
         return 0
 
-    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
+    ng = ng_ref[0, 0, 0]
+    jax.lax.fori_loop(0, ng, body, 0)
 
-    # winner-attribute fetch: only clusters owning some lane's winner
+    # winner-attribute fetch: only shortlisted clusters can own winners
     fet_ref[...] = jnp.zeros((S, _ATTR_HI, LANE), jnp.float32)
     bid = bid_ref[...]
 
-    def fetch(g, _):
-        in_g = (bid >= g * G * ck) & (bid < (g + 1) * G * ck)
-        g_any = jnp.sum(in_g.astype(jnp.float32)) > 0.0
+    def visit(c, in_c):
+        blk = tri_ref[pl.ds(c * ck, ck), 0:_ATTR_HI]  # [ck, 45]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
+        for s in range(S):
+            local = bid[s:s + 1, :] - c * ck
+            pick = ((sub == local) & in_c[s:s + 1, :]).astype(jnp.float32)
+            fet_ref[s] = fet_ref[s] + jax.lax.dot_general(
+                blk, pick, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [45, 128]
 
-        @pl.when(g_any)
-        def _():
-            for j in range(G):
-                c = g * G + j
-                in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
-                pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
-
-                @pl.when(pred)
-                def _():
-                    blk = tri_ref[pl.ds(c * ck, ck), 0:_ATTR_HI]  # [ck, 45]
-                    sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
-                    for s in range(S):
-                        local = bid[s:s + 1, :] - c * ck
-                        pick = ((sub == local) & in_c[s:s + 1, :]).astype(
-                            jnp.float32
-                        )
-                        fet_ref[s] = fet_ref[s] + jax.lax.dot_general(
-                            blk, pick, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )  # [45, 128]
-
-        return 0
-
-    jax.lax.fori_loop(0, -(-n_clusters // G), fetch, 0)
+    _shortlist_fetch_loop(order_ref, ng, ck, n_clusters, bid, visit)
 
     # ---- assemble the OUT_W field table (pallas_lane layout) ----
     t_ = bt_ref[...]
@@ -695,7 +793,7 @@ def _cluster_shaded_kernel(
 
 
 def _cluster_closest_kernel(
-    r_ref, aabb_ref, order_ref, tri_ref, *rest,
+    r_ref, aabb_ref, order_ref, ng_ref, tri_ref, *rest,
     n_clusters, ck, n_tris, cull_backface, use_proxy=False,
 ):
     """Lean closest-hit over the [T,16] Baldwin-Weber pack: outputs only
@@ -716,18 +814,17 @@ def _cluster_closest_kernel(
 
     def body(g, _):
         best = bt_ref[...]
-        cs, ovs, group_any = _group_overlaps(
+        cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
         )
 
-        @pl.when(group_any)
+        @pl.when(bits != 0)
         def _():
             for j in range(G):
                 c = cs[j]
-                pred = jnp.sum(ovs[j].astype(jnp.float32)) > 0.0
 
-                @pl.when(pred)
-                def _():
+                @pl.when(((bits >> j) & 1) != 0)
+                def _(c=c):
                     _closest_update(
                         tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d,
                         tmin, cull_backface, bt_ref, bid_ref,
@@ -735,33 +832,20 @@ def _cluster_closest_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
+    ng = ng_ref[0, 0, 0]
+    jax.lax.fori_loop(0, ng, body, 0)
 
-    # bary refetch: one-hot over winner clusters only (BW rows 4..11)
+    # bary refetch: one-hot over shortlisted winner clusters (BW rows 4..11)
     bid = bid_ref[...]
     t_ = bt_ref[...]
     fet_ref[...] = jnp.zeros((S, 12, LANE), jnp.float32)
 
-    def fetch(g, _):
-        in_g = (bid >= g * G * ck) & (bid < (g + 1) * G * ck)
-        g_any = jnp.sum(in_g.astype(jnp.float32)) > 0.0
-
-        @pl.when(g_any)
-        def _():
-            for j in range(G):
-                c = g * G + j
-                in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
-                pred = jnp.sum(in_c.astype(jnp.float32)) > 0.0
-
-                @pl.when(pred)
-                def _():
-                    _bary_fetch(
-                        tri_ref[pl.ds(c * ck, ck), 0:12], c, ck, bid, fet_ref
-                    )
-
-        return 0
-
-    jax.lax.fori_loop(0, -(-n_clusters // G), fetch, 0)
+    _shortlist_fetch_loop(
+        order_ref, ng, ck, n_clusters, bid,
+        lambda c, in_c: _bary_fetch(
+            tri_ref[pl.ds(c * ck, ck), 0:12], c, ck, bid, fet_ref
+        ),
+    )
 
     def attr(k):
         return jnp.concatenate(
@@ -791,7 +875,8 @@ def _cluster_closest_kernel(
 def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                               interpret, directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
+    order, ngroups = cell_cluster_shortlist(
+        rows, aabbs, n_cols // S, directional)
     return pl.pallas_call(
         functools.partial(
             _cluster_occlusion_kernel,
@@ -805,6 +890,8 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -813,7 +900,7 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
         out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
         scratch_shapes=[pltpu.VMEM((S, LANE), jnp.float32)],
         interpret=interpret,
-    )(rows, aabbs, order, tri_pack)
+    )(rows, aabbs, order, ngroups, tri_pack)
 
 
 @functools.partial(
@@ -825,7 +912,8 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                            cull_backface, interpret, proxy=None,
                            directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
+    order, ngroups = cell_cluster_shortlist(
+        rows, aabbs, n_cols // S, directional)
     in_specs = [
         pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -833,10 +921,12 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [rows, aabbs, order, tri_pack]
+    operands = [rows, aabbs, order, ngroups, tri_pack]
     if proxy is not None:
         in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -870,7 +960,8 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                             cull_backface, interpret, proxy=None,
                             directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
+    order, ngroups = cell_cluster_shortlist(
+        rows, aabbs, n_cols // S, directional)
     in_specs = [
         pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -878,10 +969,12 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [rows, aabbs, order, tri_pack]
+    operands = [rows, aabbs, order, ngroups, tri_pack]
     if proxy is not None:
         in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
