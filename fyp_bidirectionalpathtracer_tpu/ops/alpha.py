@@ -112,7 +112,8 @@ def wrap_tracer(baked, trace, max_restarts: int = 4):
         return hit.hit & (base[..., 3] < materials.alpha_threshold[m])
 
     def trace_alpha(origin, direction, t_min, view_origin,
-                    cull_backface=False, coherent=True):
+                    cull_backface=False, coherent=True, lean=False):
+        del lean  # the restart test reads sd.uv/material_id: full decode
         tmin = jnp.broadcast_to(
             jnp.asarray(t_min, jnp.float32), origin.shape[:-1]
         )

@@ -389,7 +389,12 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
             lane_pack = pack_shaded_tris_lane(baked.tris, baked.data.materials)
 
         def trace(origin, direction, t_min, view_origin, cull_backface=False,
-                  coherent=True):
+                  coherent=True, lean=False):
+            # lean=True promises the caller only reads hit.hit/hit.t and the
+            # sample_brdf inputs (n, diffuse, specular, roughness) plus
+            # pos_w/v — shoot_ray's exact consumption.  The sorted path then
+            # carries 11 back-sort payload columns instead of 22 (ONE XLA
+            # sort instead of two, ~12 ms per 1M-ray bounce on v5e).
             if not coherent and dense_divergent and not sort_divergent:
                 hit, fields_fm = intersect_shaded_lanes_fm(
                     baked.tris, lane_pack, origin, direction, t_min,
@@ -447,6 +452,44 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
                 sd_s = shading_from_fields_fm(
                     ffm_s, baked.data.textures, hit_s, o_s, d_s, vo_s
                 )
+                if lean:
+                    back_cols = [
+                        sd_s.n[:, 0], sd_s.n[:, 1], sd_s.n[:, 2],
+                        sd_s.diffuse[:, 0], sd_s.diffuse[:, 1],
+                        sd_s.diffuse[:, 2],
+                        sd_s.specular[:, 0], sd_s.specular[:, 1],
+                        sd_s.specular[:, 2],
+                        sd_s.linear_roughness,
+                        hit_s.t,  # already 1e30 (_BIG) on miss
+                    ]
+                    out = jax.lax.sort([idx_s] + back_cols, num_keys=1)[1:]
+                    t_ = out[10].reshape(shape)
+                    hit_flag = t_ < 1e30
+                    hit = _HitRecord(
+                        t=t_,
+                        tri=jnp.where(hit_flag, 0, -1),
+                        bary_u=jnp.zeros(shape, jnp.float32),
+                        bary_v=jnp.zeros(shape, jnp.float32),
+                    )
+                    n = jnp.stack(out[0:3], -1).reshape(shape + (3,))
+                    lr = out[9].reshape(shape)
+                    pos = origin + t_[..., None] * direction
+                    v = normalize(
+                        jnp.broadcast_to(view_origin, origin.shape) - pos
+                    )
+                    z = jnp.zeros(shape, jnp.float32)
+                    z3 = jnp.zeros(shape + (3,), jnp.float32)
+                    sd = ShadingData(
+                        pos_w=pos, n=n, v=v,
+                        uv=jnp.zeros(shape + (2,), jnp.float32),
+                        diffuse=jnp.stack(out[3:6], -1).reshape(shape + (3,)),
+                        specular=jnp.stack(out[6:9], -1).reshape(shape + (3,)),
+                        linear_roughness=lr, roughness=lr * lr,
+                        emissive=z3, opacity=z, ior=z,
+                        n_dot_v=dot(n, v),
+                        material_id=jnp.zeros(shape, jnp.int32),
+                    )
+                    return hit, sd
                 back_cols = [
                     sd_s.n[:, 0], sd_s.n[:, 1], sd_s.n[:, 2],
                     sd_s.diffuse[:, 0], sd_s.diffuse[:, 1], sd_s.diffuse[:, 2],
@@ -515,8 +558,8 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
             pack = pack_shaded_tris_lane(baked.tris, baked.data.materials)
 
             def trace(origin, direction, t_min, view_origin,
-                      cull_backface=False, coherent=True):
-                del coherent  # dense kernels are insensitive to ray order
+                      cull_backface=False, coherent=True, lean=False):
+                del coherent, lean  # dense kernels: ray order/output width moot
                 hit, fields_fm = intersect_shaded_lanes_fm(
                     baked.tris, pack, origin, direction, t_min,
                     cull_backface=cull_backface, interpret=False,
@@ -532,8 +575,8 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
         pack = pack_shaded_triangles(baked.tris, baked.data.materials)
 
         def trace(origin, direction, t_min, view_origin,
-                  cull_backface=False, coherent=True):
-            del coherent  # dense kernels are insensitive to ray order
+                  cull_backface=False, coherent=True, lean=False):
+            del coherent, lean  # dense kernels: ray order/output width moot
             hit, fields = intersect_shaded(
                 baked.tris, pack, origin, direction, t_min,
                 cull_backface=cull_backface, interpret=not on_tpu,
@@ -546,7 +589,8 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
         return alpha_wrap(trace)
 
     def trace(origin, direction, t_min, view_origin, cull_backface=False,
-              coherent=True):
+              coherent=True, lean=False):
+        del lean  # gather-decode path has no permutation to slim
         # intersect's coherent=False means "Morton-sort the wavefront";
         # only divergence-sorting configs opt in (sort_divergent).
         hit = intersect(

@@ -129,9 +129,12 @@ def shoot_ray(payload: Payload, trace, cfg: BDPTConfig,
     cluster order).
     """
     active = ~payload.terminated
+    # lean=True: this function only consumes hit.hit plus the sample_brdf
+    # inputs (n/diffuse/specular/roughness) and pos_w/v — the sorted cluster
+    # tier then inverse-permutes 11 columns in ONE sort instead of 22 in two
     hit, sd = trace(
         payload.ray_origin, payload.ray_dir, cfg.min_t, payload.ray_origin,
-        coherent=coherent,
+        coherent=coherent, lean=True,
     )
     seed2, weight, l, pdf, is_spec = mat.sample_brdf(
         payload.seed, sd.n, sd.n, sd.v, sd.diffuse, sd.specular, sd.roughness,

@@ -267,3 +267,14 @@ def test_sorted_tracer_matches_unsorted(spheres):
         a, b = getattr(sd0, name), getattr(sd1, name)
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, err_msg=name)
+
+    # lean mode (shoot_ray's projection): hit flag + the sample_brdf inputs
+    # must survive the single 11-column inverse sort
+    h2, sd2 = srt(o, d, 1e-3, o, coherent=False, lean=True)
+    np.testing.assert_array_equal(np.asarray(h0.hit), np.asarray(h2.hit))
+    np.testing.assert_allclose(np.asarray(h0.t), np.asarray(h2.t), atol=1e-6)
+    for name in ("pos_w", "n", "v", "diffuse", "specular", "roughness",
+                 "n_dot_v"):
+        a, b = getattr(sd0, name), getattr(sd2, name)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, err_msg="lean " + name)
