@@ -58,7 +58,7 @@ def _round_up(x: int, m: int) -> int:
 
 def pick_ck(n_tris: int) -> int:
     """VMEM-tier cluster stride: the smallest multiple of 8 (>= 64) that
-    keeps the cluster count <= 512.
+    keeps the cluster count <= 512.  FYP_CK overrides for experiments.
 
     Measured on v5e (benchmarks/pink_micro.py, pink_room 10.5k tris):
     ck=64 gives 38.9 ms/1M coherent closest rays vs ~77 ms at ck=256 —
@@ -68,6 +68,11 @@ def pick_ck(n_tris: int) -> int:
     AABB table (16 KB) and the per-cell visit-order row.  The HBM-paged
     tier keeps CK=256: it is DMA-latency bound and smaller slices mean
     proportionally more round-trips."""
+    import os
+
+    env = os.environ.get("FYP_CK")
+    if env:
+        return max(8, _round_up(int(env), 8))
     return max(64, _round_up(-(-n_tris // 512), 8))
 
 
@@ -193,72 +198,43 @@ def pack_tris_cluster_hbm(tris: TriSoA, ck: int = CK):
     return jnp.pad(pack, ((0, 0), (0, 128 - pack.shape[1])))
 
 
-def cell_cluster_order(rows, aabbs, n_cells: int, directional: bool = False):
-    """[n_cells, C] int32: per grid-cell cluster visit order, nearest
-    cluster (AABB center to the cell's origin centroid) first.
-
-    Front-to-back iteration makes closest-hit best_t tighten early, so the
-    per-cluster slab test culls far clusters against shrunken [tmin, best_t)
-    intervals — the SIMD analogue of ordered BVH traversal (the DXR
-    hardware's closest-hit early-out, RtScene.cpp:220-308).  For any-hit it
-    occludes lanes sooner, emptying the cell's open set.  Cheap XLA prep:
-    one [cells, C] argsort per wavefront.
-
-    directional (for octant-major-sorted wavefronts whose cells share a
-    direction cone): order by signed projection of the cluster center along
-    the cell's mean direction — in-front clusters front-to-back, behind
-    clusters last (they slab-cull instantly)."""
-    o = rows[0:3].reshape(3, n_cells, -1).mean(axis=-1)      # [3, cells]
-    cc = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])               # [C, 3]
-    rel = cc[None, :, :] - o.T[:, None, :]                   # [cells, C, 3]
-    if directional:
-        dm = rows[3:6].reshape(3, n_cells, -1).mean(axis=-1)  # [3, cells]
-        proj = (rel * dm.T[:, None, :]).sum(-1)               # [cells, C]
-        key = jnp.where(proj >= 0.0, proj, 1e9 - proj)
-    else:
-        key = (rel ** 2).sum(-1)
-    # [cells, 1, C]: the per-cell SMEM block is then (1, 1, C), whose
-    # trailing two dims equal the array's — the only legal sub-8 block shape
-    return jnp.argsort(key, axis=1).astype(jnp.int32)[:, None, :]
-
-
 def cell_cluster_shortlist(rows, aabbs, n_cells: int,
                            directional: bool = False):
     """Per-cell cluster shortlist: (order [cells,1,C] int32,
-    ngroups [cells,1] int32).
+    ngroups [cells,1,1] int32, entry [cells,1,C] f32).
 
-    `order` lists the clusters whose AABB *conservatively* overlaps the
-    cell's ray bundle first (front-to-back by the cell_cluster_order key),
-    the rest after; `ngroups` = ceil(overlap_count / G) bounds the kernel's
-    group loop.  The in-kernel per-cluster slab test used to be the only
-    cull, which made every cell scan all C clusters' groups — measured
-    ~1.5 us of vector->scalar sync per group, a ~30 us/cell floor at
-    pink_room's 165 clusters (benchmarks/pink_micro.py).  Hoisting a
-    bundle-level cull into XLA prep makes the loop bound per-cell tight.
+    `order` front-lists the clusters some live ray in the cell EXACTLY
+    slab-overlaps, sorted front-to-back by `entry` (see below); `ngroups`
+    = ceil(count / G) bounds the kernel's group loop.  The in-kernel
+    per-cluster slab test used to be the only cull, which made every cell
+    scan all C clusters' groups — measured ~1.5 us of vector->scalar sync
+    per group, a ~30 us/cell floor at pink_room's 165 clusters
+    (benchmarks/pink_micro.py).  Hoisting the cull into XLA prep makes the
+    loop bound per-cell tight.
 
-    The bundle test is interval arithmetic over the cell's live lanes
-    (tmax > tmin excludes rays_to_rows padding and alpha-restart inert
-    lanes): origin box [olo,ohi], per-axis bounds of the kernel's own
-    inv(d) values (so exact-zero components bound to the kernel's +-2e12
-    sentinels rather than widening to "unconstrained"), t in
-    [min tmin, max tmax].  Per axis, the slab candidates (blo-o)*inv_d and
-    (bhi-o)*inv_d are bounded by interval products.  actual per-ray overlap
-    =>  bundle overlap, so a shortlist miss is impossible (proved in
-    tests/test_cluster_shortlist.py against exact per-ray slabs).  This
-    mirrors what DXR gets from hardware frustum/packet heuristics inside
-    TraceRay (RtScene.cpp:220-308) — the wavefront analogue of packet
-    traversal."""
+    The per-ray test mirrors the kernel's own slab test (_slab_tiles):
+    inv(d) with the +-2e12 exact-zero sentinels, overlap iff
+    near <= far, far >= tmin, near <= tmax, on live lanes only (tmax >
+    tmin excludes rays_to_rows padding and alpha-restart inert lanes).
+    An earlier bundle-interval-arithmetic version was ~2.4x looser on
+    direction-sorted bounce wavefronts (114 vs 47 visits/cell,
+    benchmarks/consv_gap) because divergent origins inflate the interval
+    products; the exact union is a straight [rays, C] vector computation
+    XLA fuses into the reductions, so tightness is nearly free.
+
+    `entry[pos]` = min over overlapping live rays of max(per-ray slab
+    entry, per-ray tmin) for the cluster at `order[pos]` — a LOWER bound
+    on the t of any hit that cluster can produce for any lane, ascending
+    in `pos`.  The closest-hit kernels early-exit once every lane's
+    min(best_t, tmax) beats the next position's entry (exact, not
+    heuristic): rays that don't overlap a cluster take nothing from it,
+    and rays that do can only find t >= entry.  This is the wavefront
+    analogue of ordered BVH traversal termination, which the reference
+    gets from DXR hardware (TraceRay, RtScene.cpp:220-308)."""
     c = aabbs.shape[0]
     big = jnp.float32(_BIG)
     f = rows.reshape(8, n_cells, -1)                    # [8, cells, S*LANE]
     live = f[7] > f[6]
-    any_live = jnp.any(live, axis=-1)                   # [cells]
-
-    def mn(x):
-        return jnp.where(live, x, big).min(axis=-1)
-
-    def mx(x):
-        return jnp.where(live, x, -big).max(axis=-1)
 
     def inv(dk):  # _ray_tiles' inv, elementwise per ray
         return jnp.where(
@@ -267,51 +243,44 @@ def cell_cluster_shortlist(rows, aabbs, n_cells: int,
             jnp.where(dk >= 0, 2e12, -2e12),
         )
 
-    olo = jnp.stack([mn(f[k]) for k in range(3)], -1)   # [cells, 3]
-    ohi = jnp.stack([mx(f[k]) for k in range(3)], -1)
-    ilo = jnp.stack([mn(inv(f[k + 3])) for k in range(3)], -1)[:, None, :]
-    ihi = jnp.stack([mx(inv(f[k + 3])) for k in range(3)], -1)[:, None, :]
-    t_lo = mn(f[6])                                     # [cells]
-    t_hi = mx(f[7])
+    o = [f[k][:, :, None] for k in range(3)]            # [cells, SL, 1]
+    iv = [inv(f[k + 3])[:, :, None] for k in range(3)]
+    tmin = f[6][:, :, None]
+    tmax = f[7][:, :, None]
+    finite = jnp.isfinite(aabbs[:, 0])                  # all-pad clusters
 
-    blo = aabbs[None, :, 0:3]                           # [1, C, 3]
-    bhi = aabbs[None, :, 3:6]
+    # chunk the cluster axis so the fused [cells, SL, chunk] intermediates
+    # stay reduction-fused (never materialising [rays, C] f32)
+    chunk = 32
+    ov_chunks, en_chunks = [], []
+    for c0 in range(0, c, chunk):
+        cw = min(chunk, c - c0)
+        blo = aabbs[c0:c0 + cw, 0:3]                    # [cw, 3]
+        bhi = aabbs[c0:c0 + cw, 3:6]
+        near = jnp.full((n_cells, f.shape[2], cw), -big)
+        far = jnp.full((n_cells, f.shape[2], cw), big)
+        for k in range(3):
+            t0 = (blo[None, None, :, k] - o[k]) * iv[k]
+            t1 = (bhi[None, None, :, k] - o[k]) * iv[k]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        ov = (near <= far) & (far >= tmin) & (near <= tmax) & live[:, :, None]
+        ov = ov & finite[None, None, c0:c0 + cw]
+        entry = jnp.where(ov, jnp.maximum(near, tmin), big)
+        ov_chunks.append(jnp.any(ov, axis=1))           # [cells, cw]
+        en_chunks.append(jnp.min(entry, axis=1))        # [cells, cw]
+    overlap = jnp.concatenate(ov_chunks, axis=1)        # [cells, C]
+    entry_key = jnp.concatenate(en_chunks, axis=1)
 
-    def pbounds(xlo, xhi):
-        """Interval product bounds of [xlo,xhi] * [ilo,ihi]."""
-        p1, p2, p3, p4 = xlo * ilo, xlo * ihi, xhi * ilo, xhi * ihi
-        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
-                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
-
-    ta_lo, ta_hi = pbounds(blo - ohi[:, None, :], blo - olo[:, None, :])
-    tb_lo, tb_hi = pbounds(bhi - ohi[:, None, :], bhi - olo[:, None, :])
-    near = jnp.minimum(ta_lo, tb_lo)                    # [cells, C, 3]
-    far = jnp.maximum(ta_hi, tb_hi)
-    t_enter = near.max(-1)                              # [cells, C]
-    t_exit = far.min(-1)
-    overlap = (
-        (t_enter <= t_exit)
-        & (t_exit >= t_lo[:, None])
-        & (t_enter <= t_hi[:, None])
-        & any_live[:, None]
-        & jnp.isfinite(aabbs[None, :, 0])               # skip all-pad clusters
-    )
-
-    o = f[0:3].mean(axis=-1)                            # [3, cells]
-    cc = 0.5 * (aabbs[:, 0:3] + aabbs[:, 3:6])          # [C, 3]
-    rel = cc[None, :, :] - o.T[:, None, :]              # [cells, C, 3]
-    if directional:
-        dm = f[3:6].mean(axis=-1)
-        proj = (rel * dm.T[:, None, :]).sum(-1)
-        key = jnp.where(proj >= 0.0, proj, 1e9 - proj)
-    else:
-        key = (rel ** 2).sum(-1)
-    key = jnp.where(overlap, key, big)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)[:, None, :]
+    del directional  # exact-entry order subsumes both old heuristics
+    key = jnp.where(overlap, entry_key, big)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    entry_sorted = jnp.take_along_axis(key, order, axis=1)
     count = overlap.sum(axis=1).astype(jnp.int32)
     ngroups = -(-count // G)
-    # [cells, 1, 1]: SMEM blocks must match the array's trailing two dims
-    return order, ngroups[:, None, None]
+    # [cells, 1, *]: SMEM blocks must match the array's trailing two dims
+    return (order[:, None, :], ngroups[:, None, None],
+            entry_sorted[:, None, :])
 
 
 # ----------------------------------------------------------------- kernels
@@ -479,13 +448,14 @@ def _bary_fetch(blk12, c, ck, bid, fet_ref):
 
 
 def _cluster_occlusion_kernel(
-    r_ref, aabb_ref, order_ref, ng_ref, tri_ref, out_ref, occ_ref,
+    r_ref, aabb_ref, order_ref, ng_ref, entry_ref, tri_ref, out_ref, occ_ref,
     *, n_clusters, ck, n_tris
 ):
+    del entry_ref  # any-hit has no best_t to compare entries against
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
 
-    def body(g, _):
+    def body(g):
         open_ = occ_ref[...] == 0.0
         cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin,
@@ -504,30 +474,42 @@ def _cluster_occlusion_kernel(
                         blk, c, ck, n_tris, o, d, tmin, tmax, occ_ref,
                     )
 
-        return 0
+        return g + 1
 
     # loop only the groups holding this cell's conservative shortlist
-    # (cell_cluster_shortlist); entries past the count slab-cull in-kernel
-    jax.lax.fori_loop(0, ng_ref[0, 0, 0], body, 0)
+    # (cell_cluster_shortlist); entries past the count slab-cull in-kernel.
+    # Early exit once every lane with a non-empty interval is occluded —
+    # the entry-sorted order puts near occluders first, so saturated cells
+    # stop paying the per-group predicate sync.
+    ng = ng_ref[0, 0, 0]
+
+    def keep_going(g):
+        open_ = (occ_ref[...] == 0.0) & (tmax > tmin)
+        return (g < ng) & jnp.any(open_)
+
+    jax.lax.while_loop(keep_going, body, 0)
     out_ref[...] = occ_ref[...]
 
 
 def _cluster_occlusion_hbm_kernel(
-    r_ref, aabb_ref, order_ref, tri_hbm, out_ref, occ_ref, *bufs,
+    r_ref, aabb_ref, order_ref, ng_ref, tri_hbm, out_ref, occ_ref, *bufs,
     n_clusters, ck, n_tris
 ):
     """Any-hit with the triangle pack resident in HBM.
 
-    Grouped demand paging: G ordered clusters share one vector slab pass +
-    one scalar branch (see _group_overlaps — the per-cluster scalar sync is
-    the dominant cost of the naive loop), and a surviving group issues ALL
-    its cluster DMAs back-to-back into per-slot VMEM buffers before the
-    first wait, so transfer j+1..G overlaps pair-test j."""
+    Grouped demand paging: G shortlisted clusters share one vector slab
+    pass + one scalar branch (see _group_overlaps — the per-cluster scalar
+    sync is the dominant cost of the naive loop), and a surviving group
+    issues ALL its cluster DMAs back-to-back into per-slot VMEM buffers
+    before the first wait, so transfer j+1..G overlaps pair-test j.  The
+    loop is bounded by the cell's exact shortlist (cell_cluster_shortlist)
+    — in this tier a culled group saves the DMAs too — and exits once every
+    live lane is occluded."""
     blks, sems = bufs[:G], bufs[G:]
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
 
-    def body(g, _):
+    def body(g):
         open_ = occ_ref[...] == 0.0
         cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin,
@@ -553,14 +535,20 @@ def _cluster_occlusion_hbm_kernel(
                         occ_ref,
                     )
 
-        return 0
+        return g + 1
 
-    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
+    ng = ng_ref[0, 0, 0]
+
+    def keep_going(g):
+        open_ = (occ_ref[...] == 0.0) & (tmax > tmin)
+        return (g < ng) & jnp.any(open_)
+
+    jax.lax.while_loop(keep_going, body, 0)
     out_ref[...] = occ_ref[...]
 
 
 def _cluster_closest_hbm_kernel(
-    r_ref, aabb_ref, order_ref, tri_hbm, *rest,
+    r_ref, aabb_ref, order_ref, ng_ref, entry_ref, tri_hbm, *rest,
     n_clusters, ck, n_tris, cull_backface, use_proxy=False,
 ):
     """Lean closest-hit with HBM-resident triangles.
@@ -584,7 +572,7 @@ def _cluster_closest_hbm_kernel(
     if use_proxy:
         _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
-    def body(g, _):
+    def body(g):
         best = bt_ref[...]
         cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
@@ -609,9 +597,18 @@ def _cluster_closest_hbm_kernel(
                         cull_backface, bt_ref, bid_ref,
                     )
 
-        return 0
+        return g + 1
 
-    jax.lax.fori_loop(0, -(-n_clusters // G), body, 0)
+    ng = ng_ref[0, 0, 0]
+
+    def keep_going(g):
+        # see _cluster_closest_kernel: sorted conservative entries make the
+        # front-to-back exit exact; here each skipped group saves G DMAs too
+        bound = jnp.where(tmax > tmin, jnp.minimum(bt_ref[...], tmax), 0.0)
+        nxt = entry_ref[0, 0, jnp.minimum(g * G, n_clusters - 1)]
+        return (g < ng) & (nxt <= jnp.max(bound))
+
+    jax.lax.while_loop(keep_going, body, 0)
 
     bid = bid_ref[...]
     t_ = bt_ref[...]
@@ -697,7 +694,7 @@ def _shortlist_fetch_loop(order_ref, ng, ck, n_clusters, bid, visit):
 
 
 def _cluster_shaded_kernel(
-    r_ref, aabb_ref, order_ref, ng_ref, tri_ref, *rest,
+    r_ref, aabb_ref, order_ref, ng_ref, entry_ref, tri_ref, *rest,
     n_clusters, ck, n_tris, cull_backface, use_proxy=False,
 ):
     if use_proxy:
@@ -711,7 +708,7 @@ def _cluster_shaded_kernel(
     if use_proxy:
         _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
-    def body(g, _):
+    def body(g):
         best = bt_ref[...]
         cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
@@ -729,10 +726,22 @@ def _cluster_shaded_kernel(
                   tmin, cull_backface, bt_ref, bid_ref,
               )
 
-        return 0
+        return g + 1
 
     ng = ng_ref[0, 0, 0]
-    jax.lax.fori_loop(0, ng, body, 0)
+
+    def keep_going(g):
+        # exact early exit: positions >= g*G have conservative entry >=
+        # entry_ref[g*G], a LOWER bound on every live lane's per-ray slab
+        # entry — once every lane's improvement bound beats it, later
+        # clusters cannot improve.  A lane's bound is min(best_t, tmax)
+        # (hits beyond tmax never count); empty-interval lanes (inert
+        # alpha restarts, rays_to_rows padding) are excluded.
+        bound = jnp.where(tmax > tmin, jnp.minimum(bt_ref[...], tmax), 0.0)
+        nxt = entry_ref[0, 0, jnp.minimum(g * G, n_clusters - 1)]
+        return (g < ng) & (nxt <= jnp.max(bound))
+
+    jax.lax.while_loop(keep_going, body, 0)
 
     # winner-attribute fetch: only shortlisted clusters can own winners
     fet_ref[...] = jnp.zeros((S, _ATTR_HI, LANE), jnp.float32)
@@ -793,7 +802,7 @@ def _cluster_shaded_kernel(
 
 
 def _cluster_closest_kernel(
-    r_ref, aabb_ref, order_ref, ng_ref, tri_ref, *rest,
+    r_ref, aabb_ref, order_ref, ng_ref, entry_ref, tri_ref, *rest,
     n_clusters, ck, n_tris, cull_backface, use_proxy=False,
 ):
     """Lean closest-hit over the [T,16] Baldwin-Weber pack: outputs only
@@ -812,7 +821,7 @@ def _cluster_closest_kernel(
     if use_proxy:
         _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
-    def body(g, _):
+    def body(g):
         best = bt_ref[...]
         cs, bits = _group_overlaps(
             order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
@@ -830,10 +839,22 @@ def _cluster_closest_kernel(
                         tmin, cull_backface, bt_ref, bid_ref,
                     )
 
-        return 0
+        return g + 1
 
     ng = ng_ref[0, 0, 0]
-    jax.lax.fori_loop(0, ng, body, 0)
+
+    def keep_going(g):
+        # exact early exit: positions >= g*G have conservative entry >=
+        # entry_ref[g*G], a LOWER bound on every live lane's per-ray slab
+        # entry — once every lane's improvement bound beats it, later
+        # clusters cannot improve.  A lane's bound is min(best_t, tmax)
+        # (hits beyond tmax never count); empty-interval lanes (inert
+        # alpha restarts, rays_to_rows padding) are excluded.
+        bound = jnp.where(tmax > tmin, jnp.minimum(bt_ref[...], tmax), 0.0)
+        nxt = entry_ref[0, 0, jnp.minimum(g * G, n_clusters - 1)]
+        return (g < ng) & (nxt <= jnp.max(bound))
+
+    jax.lax.while_loop(keep_going, body, 0)
 
     # bary refetch: one-hot over shortlisted winner clusters (BW rows 4..11)
     bid = bid_ref[...]
@@ -875,7 +896,7 @@ def _cluster_closest_kernel(
 def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                               interpret, directional=False):
     n_cols = rows.shape[1]
-    order, ngroups = cell_cluster_shortlist(
+    order, ngroups, entry = cell_cluster_shortlist(
         rows, aabbs, n_cols // S, directional)
     return pl.pallas_call(
         functools.partial(
@@ -892,6 +913,8 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -900,7 +923,7 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
         out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
         scratch_shapes=[pltpu.VMEM((S, LANE), jnp.float32)],
         interpret=interpret,
-    )(rows, aabbs, order, ngroups, tri_pack)
+    )(rows, aabbs, order, ngroups, entry, tri_pack)
 
 
 @functools.partial(
@@ -912,7 +935,7 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                            cull_backface, interpret, proxy=None,
                            directional=False):
     n_cols = rows.shape[1]
-    order, ngroups = cell_cluster_shortlist(
+    order, ngroups, entry = cell_cluster_shortlist(
         rows, aabbs, n_cols // S, directional)
     in_specs = [
         pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
@@ -923,10 +946,12 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [rows, aabbs, order, ngroups, tri_pack]
+    operands = [rows, aabbs, order, ngroups, entry, tri_pack]
     if proxy is not None:
         in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -960,7 +985,7 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                             cull_backface, interpret, proxy=None,
                             directional=False):
     n_cols = rows.shape[1]
-    order, ngroups = cell_cluster_shortlist(
+    order, ngroups, entry = cell_cluster_shortlist(
         rows, aabbs, n_cols // S, directional)
     in_specs = [
         pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
@@ -971,10 +996,12 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [rows, aabbs, order, ngroups, tri_pack]
+    operands = [rows, aabbs, order, ngroups, entry, tri_pack]
     if proxy is not None:
         in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -1047,7 +1074,8 @@ def intersect_closest_clusters(
 def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                                   n_tris, interpret, directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
+    order, ngroups, _ = cell_cluster_shortlist(
+        rows, aabbs, n_cols // S, directional)
     return pl.pallas_call(
         functools.partial(
             _cluster_occlusion_hbm_kernel,
@@ -1061,6 +1089,8 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
         ],
         out_specs=pl.BlockSpec((S, LANE), lambda i: (i, 0),
@@ -1072,7 +1102,7 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
             + [pltpu.SemaphoreType.DMA for _ in range(G)]
         ),
         interpret=interpret,
-    )(rows, aabbs, order, tri_pack)
+    )(rows, aabbs, order, ngroups, tri_pack)
 
 
 @functools.partial(
@@ -1084,7 +1114,8 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                                 n_tris, cull_backface, interpret, proxy=None,
                                 directional=False):
     n_cols = rows.shape[1]
-    order = cell_cluster_order(rows, aabbs, n_cols // S, directional)
+    order, ngroups, entry = cell_cluster_shortlist(
+        rows, aabbs, n_cols // S, directional)
     in_specs = [
         pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -1092,9 +1123,13 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, n_clusters), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
     ]
-    operands = [rows, aabbs, order, tri_pack]
+    operands = [rows, aabbs, order, ngroups, entry, tri_pack]
     if proxy is not None:
         in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))

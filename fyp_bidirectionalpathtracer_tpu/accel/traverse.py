@@ -361,25 +361,37 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
             shape = origin.shape[:-1]
             o = origin.reshape(-1, 3)
             d = direction.reshape(-1, 3)
+            n = o.shape[0]
             lo, hi = scene_bounds(tris)
             keys = ray_sort_keys_dirq(o, d, lo, hi)
-            iota = jnp.arange(o.shape[0], dtype=jnp.int32)
-            tn = jnp.broadcast_to(
-                jnp.asarray(t_min, jnp.float32), shape
-            ).reshape(-1)
-            if t_max is None:
-                tm = jnp.full((o.shape[0],), 1e30, jnp.float32)
+            iota = jnp.arange(n, dtype=jnp.int32)
+            # scalar t_min / absent t_max are CONSTANT columns — rebuild
+            # them after the sort instead of paying sort payload bandwidth
+            tn_scalar = jnp.asarray(t_min).ndim == 0
+            tm_scalar = t_max is None
+            cols = [keys, o[:, 0], o[:, 1], o[:, 2],
+                    d[:, 0], d[:, 1], d[:, 2]]
+            if not tn_scalar:
+                cols.append(jnp.broadcast_to(
+                    jnp.asarray(t_min, jnp.float32), shape).reshape(-1))
+            if not tm_scalar:
+                cols.append(jnp.broadcast_to(
+                    jnp.asarray(t_max, jnp.float32), shape).reshape(-1))
+            cols.append(iota)
+            srt = jax.lax.sort(cols, num_keys=1)
+            k = 7
+            if tn_scalar:
+                tn = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
             else:
-                tm = jnp.broadcast_to(
-                    jnp.asarray(t_max, jnp.float32), shape
-                ).reshape(-1)
-            srt = jax.lax.sort(
-                [keys, o[:, 0], o[:, 1], o[:, 2],
-                 d[:, 0], d[:, 1], d[:, 2], tn, tm, iota],
-                num_keys=1,
-            )
+                tn = srt[k]
+                k += 1
+            if tm_scalar:
+                tm = jnp.full((n,), 1e30, jnp.float32)
+            else:
+                tm = srt[k]
+                k += 1
             return (jnp.stack(srt[1:4], -1), jnp.stack(srt[4:7], -1),
-                    srt[7], srt[8], srt[9], shape)
+                    tn, tm, srt[k], shape)
 
         def intersect(origin, direction, t_min, t_max=None, closest=True,
                       cull_backface=False, coherent=True):

@@ -378,6 +378,13 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
         interp = jax.default_backend() != "tpu"
         pack = pack_shaded_tris_cluster(baked.tris, baked.data.materials, ck)
         aabbs = pack_cluster_aabbs(baked.tris, ck)
+        import os as _os
+
+        proxy = None
+        if _os.environ.get("FYP_PROXY"):  # experiment: dense best_t seeding
+            from ..accel.pallas_cluster import pack_proxy_tris
+
+            proxy = pack_proxy_tris(baked.tris)
 
         dense_divergent = n_tris <= DENSE_DIVERGENT_MAX
         if dense_divergent:
@@ -428,27 +435,53 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
                 vo = None if same_vo else jnp.broadcast_to(
                     view_origin, origin.shape
                 ).reshape(-1, 3)
-                tmin_flat = jnp.broadcast_to(
-                    jnp.asarray(t_min, f32), shape
-                ).reshape(-1)
                 lo, hi = scene_bounds(baked.tris)
                 keys = ray_sort_keys_dirq(o, d, lo, hi)
                 iota = jnp.arange(nflat, dtype=jnp.int32)
+                # scalar t_min is a CONSTANT column: rebuild after the sort
+                # instead of paying sort payload bandwidth for it
+                tn_scalar = jnp.asarray(t_min).ndim == 0
                 fwd_cols = [o[:, 0], o[:, 1], o[:, 2],
-                            d[:, 0], d[:, 1], d[:, 2], tmin_flat, iota]
+                            d[:, 0], d[:, 1], d[:, 2]]
+                if not tn_scalar:
+                    fwd_cols.append(jnp.broadcast_to(
+                        jnp.asarray(t_min, f32), shape).reshape(-1))
+                fwd_cols.append(iota)
                 if vo is not None:
                     fwd_cols += [vo[:, 0], vo[:, 1], vo[:, 2]]
                 srt = jax.lax.sort([keys] + fwd_cols, num_keys=1)
                 o_s = jnp.stack(srt[1:4], -1)
                 d_s = jnp.stack(srt[4:7], -1)
-                tmin_s = srt[7]
-                idx_s = srt[8]
-                vo_s = o_s if same_vo else jnp.stack(srt[9:12], -1)
-                hit_s, ffm_s = intersect_shaded_clusters_fm(
-                    baked.tris, pack, aabbs, o_s, d_s, tmin_s,
-                    cull_backface=cull_backface, ck=ck,
-                    interpret=interp, directional=True,
-                )
+                k = 7
+                if tn_scalar:
+                    tmin_s = jnp.broadcast_to(
+                        jnp.asarray(t_min, f32), (nflat,))
+                else:
+                    tmin_s = srt[k]
+                    k += 1
+                idx_s = srt[k]
+                k += 1
+                vo_s = o_s if same_vo else jnp.stack(srt[k:k + 3], -1)
+                import os
+
+                if os.environ.get("FYP_STUB_TRACE_KERNEL"):
+                    # timing attribution only (breaks the image): keep the
+                    # sorts + decode, DCE the cluster kernel, to split an
+                    # in-frame extension trace into kernel vs glue cost
+                    hit_s = _HitRecord(
+                        t=jnp.full((nflat,), 1.0, f32),
+                        tri=jnp.zeros((nflat,), jnp.int32),
+                        bary_u=jnp.zeros((nflat,), f32),
+                        bary_v=jnp.zeros((nflat,), f32),
+                    )
+                    ffm_s = o_s[:, 0:1].T * jnp.ones((OUT_W, 1), f32)
+                else:
+                    hit_s, ffm_s = intersect_shaded_clusters_fm(
+                        baked.tris, pack, aabbs, o_s, d_s, tmin_s,
+                        cull_backface=cull_backface, ck=ck,
+                        interpret=interp, directional=True,
+                        proxy_pack=proxy,
+                    )
                 sd_s = shading_from_fields_fm(
                     ffm_s, baked.data.textures, hit_s, o_s, d_s, vo_s
                 )

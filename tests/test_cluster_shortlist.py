@@ -85,10 +85,11 @@ def test_shortlist_is_conservative(mode):
     ).reshape(8, n_cells * S, LANE).astype(np.float32)
 
     with jax.default_device(jax.devices("cpu")[0]):
-        order, ngroups = cell_cluster_shortlist(
+        order, ngroups, entry = cell_cluster_shortlist(
             jnp.asarray(rows), jnp.asarray(aabbs), n_cells)
         order = np.asarray(order)[:, 0, :]
         ngroups = np.asarray(ngroups)[:, 0, 0]
+        entry = np.asarray(entry)[:, 0, :]
 
     live = tmax > tmin
     exact = _exact_cluster_visits(o, d, tmin, tmax, aabbs) & live[:, None]
@@ -100,6 +101,35 @@ def test_shortlist_is_conservative(mode):
         assert not missing, (
             f"{mode}: cell {cell} shortlist drops clusters {sorted(missing)}"
         )
+
+    # the early-exit contract: entry[pos] is sorted ascending and is a
+    # LOWER bound on every live ray's exact slab entry (max over per-axis
+    # near, clamped to the ray's tmin) for the cluster at that position —
+    # the kernels stop once min(best_t, tmax) beats the next position's
+    # entry, which is only sound if this bound never overshoots.
+    inv = np.where(np.abs(d) > 1e-12, 1.0 / np.where(d == 0, 1.0, d),
+                   np.where(d >= 0, 2e12, -2e12))
+    lo = aabbs[None, :, 0:3]
+    hi = aabbs[None, :, 3:6]
+    t0 = (lo - o[:, None, :]) * inv[:, None, :]
+    t1 = (hi - o[:, None, :]) * inv[:, None, :]
+    tn = np.minimum(t0, t1).max(-1)                       # [N, C]
+    exact_entry = np.maximum(tn, tmin[:, None])
+    for cell in range(n_cells):
+        e = entry[cell]
+        assert np.all(np.diff(e) >= 0), f"{mode}: entry not sorted"
+        lanes = slice(cell * S * LANE, (cell + 1) * S * LANE)
+        cell_exact = exact[lanes]
+        cell_entry = exact_entry[lanes]
+        n_vis = int(ngroups[cell]) * G
+        for pos in range(min(n_vis, c)):
+            cl = order[cell, pos]
+            ray_mask = cell_exact[:, cl]
+            if not ray_mask.any():
+                continue
+            assert e[pos] <= cell_entry[ray_mask, cl].min() + 1e-3, (
+                f"{mode}: cell {cell} pos {pos} entry overshoots"
+            )
 
 
 def test_shortlist_tightens():
@@ -120,7 +150,7 @@ def test_shortlist_tightens():
         [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tmin, tmax]
     ).reshape(8, n_cells * S, LANE).astype(np.float32)
     with jax.default_device(jax.devices("cpu")[0]):
-        _, ngroups = cell_cluster_shortlist(
+        _, ngroups, _ = cell_cluster_shortlist(
             jnp.asarray(rows), jnp.asarray(aabbs), n_cells)
     ngroups = np.asarray(ngroups)[:, 0, 0]
     assert ngroups[0] * G < c // 2
