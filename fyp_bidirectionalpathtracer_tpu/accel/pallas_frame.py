@@ -828,9 +828,11 @@ def frame_kernel(
         vec = _sub3(light_path[tx]["pos"], cam_path[sx]["pos"])
         length_ab = jnp.sqrt(jnp.maximum(_dot3(vec, vec), 1e-30))
         dir_ab = _scale3(vec, 1.0 / length_ab)
+        # interval shortened by min_t to exclude far-endpoint self-hits,
+        # matching passes/bdpt.py est-3 (see comment there / PARITY.md)
         occ = _occluded_rows(
             tri_ref, bounds, n_tris, cam_path[sx]["pos"], dir_ab,
-            min_t_tiles, length_ab,
+            min_t_tiles, length_ab - min_t_tiles,
         )
         vis = ~occ
         if tx >= 1:

@@ -321,6 +321,8 @@ def bdpt_pass(
     g_row0 = 0 if row0 is None else row0
 
     def shadow_fn(o, d, tmin, tmax, coherent=True):
+        if cfg.debug_stub_shadows:  # timing attribution only
+            return jnp.ones(o.shape[:-1], bool)
         return ~intersect(
             o, d, tmin, tmax, closest=False, coherent=coherent
         ).hit
@@ -365,7 +367,8 @@ def bdpt_pass(
     payload = payload.replace(terminated=~valid)  # background lanes inert
     for depth in range(1, d_max):
         was_active = ~payload.terminated
-        payload = shoot_ray(payload, trace, cfg, coherent=False)
+        if not cfg.debug_stub_extensions:
+            payload = shoot_ray(payload, trace, cfg, coherent=False)
         camera_path[depth + 1] = payload.vertex().where(was_active, zeros_vert)
     seed = payload.seed
 
@@ -381,7 +384,8 @@ def bdpt_pass(
     lpayload = lpayload.replace(terminated=~valid)
     for depth in range(0, d_max):
         was_active = ~lpayload.terminated
-        lpayload = shoot_ray(lpayload, trace, cfg, coherent=False)
+        if not cfg.debug_stub_extensions:
+            lpayload = shoot_ray(lpayload, trace, cfg, coherent=False)
         light_path[depth + 1] = lpayload.vertex().where(was_active, zeros_vert)
         take[depth + 1] = jnp.where(was_active, ~lpayload.terminated, take[depth + 1])
     seed = lpayload.seed
@@ -396,20 +400,79 @@ def bdpt_pass(
     has_emissive = jnp.any(emis4[..., :3] > 0.0, axis=-1)
     out = out + jnp.where((valid & has_emissive)[..., None], emis4, 0.0)
 
-    # --- estimator 1: path tracing with NEE ---
-    # The reference evaluates evalDirect per depth sequentially; here the
-    # light picks run first (same seed sequence), then ALL the NEE shadow
-    # rays go down in ONE batched any-hit query.
+    # --- batched estimator visibility (ours) ---
+    # The reference fires each estimator's shadow rays inline
+    # (BDPTMain.rt.hlsl:106-233); visibility queries are deterministic and
+    # side-effect-free, so ALL of them (est-1 NEE + est-3 connections +
+    # est-2 camera connections) hoist into ONE any-hit query per frame:
+    # one direction-major sort amortizes over 3x the rays and mixes ray
+    # populations into tighter direction cells.  RNG order is untouched
+    # (the est-1 light picks still draw first, in reference order).
     n_e1 = d_max if cfg.enable_path_tracing else 0
     e1_picks = []
     for i in range(n_e1):
         seed, l, intensity, dist = mat.nee_pick(seed, lights, camera_path[i + 1].pos)
         e1_picks.append((l, intensity, dist))
+
+    e3_pairs = []
+    for total_len in range(2, (d_max + 1) if cfg.enable_connections else 0):
+        for s in range(1, d_max):
+            t = total_len - s
+            if t < 0 or t > cfg.max_possible_depth:
+                continue  # uint-underflow UB in the reference; mask out
+            e3_pairs.append((total_len, s, t))
+    e3_geom = []
+    for total_len, s, t in e3_pairs:
+        vec = light_path[t].pos - camera_path[s].pos
+        length_ab = jnp.sqrt(jnp.maximum(dot(vec, vec), 1e-30))
+        dir_ab = vec / length_ab[..., None]
+        e3_geom.append((dir_ab, length_ab))
+
+    n_e2 = d_max if cfg.enable_light_tracing else 0
+    e2_geom = []
+    for i in range(n_e2):
+        to_cam = cam.pos_w - light_path[i + 1].pos
+        dis = jnp.sqrt(jnp.maximum(dot(to_cam, to_cam), 1e-30))
+        e2_geom.append((to_cam / dis[..., None], dis))
+
+    # Three separate direction-sorted batches, one per estimator family: a
+    # single merged 9-stack query measured WORSE (811 vs 781 ms/frame on
+    # pink_room) — mixing the populations spreads per-cell origin bounds
+    # and lengthens every cell's exact cluster shortlist.
     if n_e1:
-        o_b = jnp.stack([camera_path[i + 1].pos for i in range(n_e1)])
-        d_b = jnp.stack([p[0] for p in e1_picks])
-        t_b = jnp.stack([p[2] for p in e1_picks])
-        vis_b = shadow_fn(o_b, d_b, cfg.min_t, t_b)
+        vis_b = shadow_fn(
+            jnp.stack([camera_path[i + 1].pos for i in range(n_e1)]),
+            jnp.stack([p[0] for p in e1_picks]),
+            cfg.min_t,
+            jnp.stack([p[2] for p in e1_picks]),
+            coherent=not cfg.sort_shadows,
+        )
+    if e3_pairs:
+        # the reference's TMax is exactly lengthAB (BDPTMain.rt.hlsl:218-223)
+        # with the far endpoint ON the connected surface, so accepting a hit
+        # at t ~= TMax is an FP coin flip on DXR too; counting endpoint
+        # self-hits randomly kills valid connections (measured 0.5-0.9x of
+        # the independent est-3 oracle).  Shorten by min_t (PARITY.md).
+        e3_vis = shadow_fn(
+            jnp.stack([camera_path[s].pos for _, s, _ in e3_pairs]),
+            jnp.stack([g[0] for g in e3_geom]),
+            cfg.min_t,
+            jnp.stack([g[1] for g in e3_geom]) - cfg.min_t,
+            coherent=False,
+        )
+    if n_e2:
+        e2_vis = shadow_fn(
+            jnp.stack([light_path[i + 1].pos for i in range(n_e2)]),
+            jnp.stack([g[0] for g in e2_geom]),
+            cfg.min_t,
+            jnp.stack([g[1] for g in e2_geom]),
+            coherent=not cfg.sort_shadows,
+        )
+
+    # --- estimator 1: path tracing with NEE ---
+    # The reference evaluates evalDirect per depth sequentially; the light
+    # picks ran first (same seed sequence), the NEE visibility came from
+    # the batched query above.
     for i in range(n_e1):
         l, intensity, _ = e1_picks[i]
         direct = mat.nee_shade(
@@ -425,30 +488,8 @@ def bdpt_pass(
         out = out + jnp.where(valid[..., None], add, 0.0)
 
     # --- estimator 3: s,t connections (own pixel, sequential saturate) ---
-    # All connection visibility rays batch into ONE any-hit query; the
-    # saturate-accumulate then replays in the reference's iteration order.
-    e3_pairs = []
-    for total_len in range(2, (d_max + 1) if cfg.enable_connections else 0):
-        for s in range(1, d_max):
-            t = total_len - s
-            if t < 0 or t > cfg.max_possible_depth:
-                continue  # uint-underflow UB in the reference; mask out
-            e3_pairs.append((total_len, s, t))
-    e3_geom = []
-    for total_len, s, t in e3_pairs:
-        vec = light_path[t].pos - camera_path[s].pos
-        length_ab = jnp.sqrt(jnp.maximum(dot(vec, vec), 1e-30))
-        dir_ab = vec / length_ab[..., None]
-        e3_geom.append((dir_ab, length_ab))
-    if e3_pairs:
-        o_b = jnp.stack([camera_path[s].pos for _, s, _ in e3_pairs])
-        d_b = jnp.stack([g[0] for g in e3_geom])
-        t_b = jnp.stack([g[1] for g in e3_geom])
-        # s,t-connection rays start at scattered camera vertices and point
-        # at scattered light vertices: fully divergent.  coherent=False lets
-        # the cluster tier direction-sort them (anyhit 73 -> 56 ms/1M,
-        # benchmarks/divergent_micro.py).
-        e3_vis = shadow_fn(o_b, d_b, cfg.min_t, t_b, coherent=False)
+    # Visibility came from the batched query above; the saturate-accumulate
+    # replays in the reference's iteration order.
     for k, (total_len, s, t) in enumerate(e3_pairs):
         vis = e3_vis[k]
         if t >= 1:
@@ -474,19 +515,6 @@ def bdpt_pass(
     splat_ch = [jnp.zeros(g_height * width, jnp.float32) for _ in range(4)]
     camera_n = normalize(cam.camera_w)
     take_cum = jnp.ones(shape, bool)
-    n_e2 = d_max if cfg.enable_light_tracing else 0
-    if n_e2:  # one batched any-hit query for all camera-connection rays
-        e2_geom = []
-        for i in range(n_e2):
-            to_cam = cam.pos_w - light_path[i + 1].pos
-            dis = jnp.sqrt(jnp.maximum(dot(to_cam, to_cam), 1e-30))
-            e2_geom.append((to_cam / dis[..., None], dis))
-        e2_vis = shadow_fn(
-            jnp.stack([light_path[i + 1].pos for i in range(n_e2)]),
-            jnp.stack([g[0] for g in e2_geom]),
-            cfg.min_t,
-            jnp.stack([g[1] for g in e2_geom]),
-        )
     e2_lin, e2_adds = [], [[], [], [], []]
     for i in range(n_e2):
         take_cum = take_cum & take[i + 1]

@@ -72,6 +72,21 @@ class BDPTConfig:
     # 1351 -> 1435, when the unsort was two 11-column permutation gathers —
     # benchmarks/vmem_gather_micro.py, scene_frame_micro.py).
     sort_bounces: bool = True
+    # Direction-major-sort the batched est-1/est-2 shadow queries too
+    # (est-3's s,t-connection rays are always sorted).  est-1 rays start at
+    # scattered bounce vertices toward random light points; est-2 rays
+    # converge on the camera.  Exact-visit counts say sorting cuts the
+    # cluster shortlist ~5x (consv_gap micro: 125 -> 26.3 visits/cell);
+    # flag so the frame-level win/loss is measurable.
+    sort_shadows: bool = True
+    # --- timing-attribution stubs (NEVER for rendering; both break the
+    # image).  debug_stub_shadows short-circuits every estimator visibility
+    # query to "visible"; debug_stub_extensions skips the subpath extension
+    # traces (XLA then dead-code-eliminates them).  Frame differencing with
+    # these isolates any-hit cost / extension-trace cost from estimator
+    # math inside ONE jitted frame — standalone micros lie (CLAUDE.md).
+    debug_stub_shadows: bool = False
+    debug_stub_extensions: bool = False
 
 
 @dataclass(frozen=True)

