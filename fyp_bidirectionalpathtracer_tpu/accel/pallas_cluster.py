@@ -19,9 +19,13 @@ memory system:
     rather than ray granularity.
 
 Closest-hit also shrinks best_t as clusters complete, so later clusters are
-culled against tightened intervals; the winner-attribute fetch re-walks only
-clusters that own some lane's winning triangle.  Any-hit additionally stops
-testing once every lane in the cell is occluded.
+culled against tightened intervals; each cell loops only its EXACT cluster
+shortlist (cell_cluster_shortlist — the union of per-ray slab tests, hoisted
+into XLA prep), visits it front-to-back by conservative entry-t, and exits
+the loop once every lane's min(best_t, tmax) beats the next entry (the
+wavefront analogue of ordered BVH traversal termination).  The
+winner-attribute fetch re-walks only clusters that own some lane's winning
+triangle.  Any-hit stops once every lane in the cell is occluded.
 
 Coherent wavefronts (primary rays, shadow rays to a common light) touch a
 handful of clusters per cell; fully incoherent bounces degrade to the dense
@@ -331,6 +335,14 @@ def _or_reduce_bits(mask):
         m = m | pltpu.roll(m, sh, 1)
         sh //= 2
     return m[0, 0]
+
+
+def _cull_mode() -> str:
+    """FYP_CULL_MODE experiment override for the closest-path kernels:
+    'bits' (default) | 'group' | 'none' — see _closest_body."""
+    import os
+
+    return os.environ.get("FYP_CULL_MODE", "bits")
 
 
 def _group_overlaps(order_ref, aabb_ref, g, o, inv_d, tmin, tmax, n_clusters):
@@ -693,9 +705,61 @@ def _shortlist_fetch_loop(order_ref, ng, ck, n_clusters, bid, visit):
     jax.lax.fori_loop(0, ng, fetch, 0)
 
 
+
+def _closest_body(mode, order_ref, aabb_ref, o, d, inv_d, tmin, n_clusters,
+                  ck, n_tris, cull_backface, tri_ref, bt_ref, bid_ref):
+    """One shortlist-group step of a closest-path kernel, under one of three
+    culling disciplines (FYP_CULL_MODE experiment; 'bits' is default):
+      'bits'  — vector slab pass per group, one scalar sync for the OR-
+                reduced bitmask, per-cluster pl.when (skips pair tests
+                against the CURRENT best_t);
+      'group' — the group-level bitmask sync only; a surviving group pair-
+                tests all G clusters unconditionally;
+      'none'  — no slab predicates at all: the entry-ordered while_loop
+                exit is the only cull.  With exact shortlists most
+                positions pass the slab test anyway, so the per-cluster
+                scalar syncs (~1.5 us each) can exceed the pair tests they
+                skip (~0.9 us/cluster at ck=64)."""
+    def body(g):
+        best = bt_ref[...]
+        if mode == "none":
+            for j in range(G):
+                idx = jnp.minimum(g * G + j, n_clusters - 1)
+                c = order_ref[0, 0, idx]
+                _closest_update(
+                    tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d,
+                    tmin, cull_backface, bt_ref, bid_ref,
+                )
+            return g + 1
+        cs, bits = _group_overlaps(
+            order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
+        )
+
+        @pl.when(bits != 0)
+        def _():
+            for j in range(G):
+                c = cs[j]
+                if mode == "group":
+                    _closest_update(
+                        tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d,
+                        tmin, cull_backface, bt_ref, bid_ref,
+                    )
+                else:
+                    @pl.when(((bits >> j) & 1) != 0)
+                    def _(c=c):
+                        _closest_update(
+                            tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris,
+                            o, d, tmin, cull_backface, bt_ref, bid_ref,
+                        )
+
+        return g + 1
+
+    return body
+
 def _cluster_shaded_kernel(
     r_ref, aabb_ref, order_ref, ng_ref, entry_ref, tri_ref, *rest,
     n_clusters, ck, n_tris, cull_backface, use_proxy=False,
+    cull_mode="bits",
 ):
     if use_proxy:
         proxy_ref, out_ref, bt_ref, bid_ref, fet_ref = rest
@@ -708,25 +772,10 @@ def _cluster_shaded_kernel(
     if use_proxy:
         _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
-    def body(g):
-        best = bt_ref[...]
-        cs, bits = _group_overlaps(
-            order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
-        )
-
-        @pl.when(bits != 0)
-        def _():
-          for j in range(G):
-            c = cs[j]
-
-            @pl.when(((bits >> j) & 1) != 0)
-            def _(c=c):
-              _closest_update(
-                  tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d,
-                  tmin, cull_backface, bt_ref, bid_ref,
-              )
-
-        return g + 1
+    body = _closest_body(
+        cull_mode, order_ref, aabb_ref, o, d, inv_d, tmin, n_clusters,
+        ck, n_tris, cull_backface, tri_ref, bt_ref, bid_ref,
+    )
 
     ng = ng_ref[0, 0, 0]
 
@@ -804,6 +853,7 @@ def _cluster_shaded_kernel(
 def _cluster_closest_kernel(
     r_ref, aabb_ref, order_ref, ng_ref, entry_ref, tri_ref, *rest,
     n_clusters, ck, n_tris, cull_backface, use_proxy=False,
+    cull_mode="bits",
 ):
     """Lean closest-hit over the [T,16] Baldwin-Weber pack: outputs only
     (t, id, u, v) — shading attributes come from an XLA gather outside the
@@ -821,25 +871,10 @@ def _cluster_closest_kernel(
     if use_proxy:
         _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
-    def body(g):
-        best = bt_ref[...]
-        cs, bits = _group_overlaps(
-            order_ref, aabb_ref, g, o, inv_d, tmin, best, n_clusters
-        )
-
-        @pl.when(bits != 0)
-        def _():
-            for j in range(G):
-                c = cs[j]
-
-                @pl.when(((bits >> j) & 1) != 0)
-                def _(c=c):
-                    _closest_update(
-                        tri_ref[pl.ds(c * ck, ck), :], c, ck, n_tris, o, d,
-                        tmin, cull_backface, bt_ref, bid_ref,
-                    )
-
-        return g + 1
+    body = _closest_body(
+        cull_mode, order_ref, aabb_ref, o, d, inv_d, tmin, n_clusters,
+        ck, n_tris, cull_backface, tri_ref, bt_ref, bid_ref,
+    )
 
     ng = ng_ref[0, 0, 0]
 
@@ -961,6 +996,7 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             _cluster_shaded_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
             cull_backface=cull_backface, use_proxy=proxy is not None,
+            cull_mode=_cull_mode(),
         ),
         grid=(n_cols // S,),
         in_specs=in_specs,
@@ -1011,6 +1047,7 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             _cluster_closest_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
             cull_backface=cull_backface, use_proxy=proxy is not None,
+            cull_mode=_cull_mode(),
         ),
         grid=(n_cols // S,),
         in_specs=in_specs,

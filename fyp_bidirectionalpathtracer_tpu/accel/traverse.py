@@ -406,11 +406,18 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     o, d, tn, tm, idx, shape = sort_wavefront(
                         origin, direction, t_min, t_max
                     )
-                    occ_s = occluded_fn(
-                        tris, o, d, tn, tm,
-                        tri_pack=occ_pack, aabbs=aabbs, ck=ck,
-                        interpret=interp, directional=True,
-                    )
+                    import os as _os
+
+                    if _os.environ.get("FYP_STUB_ANYHIT_KERNEL"):
+                        # timing attribution only (breaks the image): keep
+                        # the sort + unsort glue, DCE the occlusion kernel
+                        occ_s = o[:, 0] < -jnp.float32(_BIG)
+                    else:
+                        occ_s = occluded_fn(
+                            tris, o, d, tn, tm,
+                            tri_pack=occ_pack, aabbs=aabbs, ck=ck,
+                            interpret=interp, directional=True,
+                        )
                     # unsort by key-sorting on the original index
                     occ = jax.lax.sort(
                         [idx, occ_s.astype(jnp.int32)], num_keys=1

@@ -165,12 +165,17 @@ def scatter_add_rgba(mode: str, lin, rgb, alpha, n_targets: int,
     golden images on the reference-ordered summation)."""
     if mode == "auto":
         mode = "tiled" if jax.default_backend() == "tpu" else "direct"
-    if mode == "tiled":
+    if mode == "skip":  # timing attribution only: DCEs the whole reduction
+        return jnp.zeros((n_targets, 4), jnp.float32) + rgb[0, 0] * 0.0
+    if mode in ("tiled", "tiled_bf16", "tiled_bf16w", "tiled_sortonly"):
         from .splat_tile import scatter_add_rgba_tiled
 
         return scatter_add_rgba_tiled(
             lin, rgb, alpha, n_targets, alpha_is_count,
             interpret=jax.default_backend() != "tpu",
+            pack_bf16=mode in ("tiled_bf16", "tiled_bf16w"),
+            mxu_bf16=mode == "tiled_bf16w",
+            sort_only=mode == "tiled_sortonly",
         )
     if mode == "packed":
         return scatter_add_rgba_packed(lin, rgb, alpha, n_targets,

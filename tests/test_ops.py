@@ -162,3 +162,34 @@ def test_splat_modes_agree():
     # dropped updates contributed nothing
     total_kept = float(alpha[np.asarray(lin) < n].sum())
     assert float(d[:, 3].sum()) == total_kept
+
+
+def test_splat_tiled_bf16_tolerance():
+    """tiled_bf16 quantizes each UPDATE to bf16 (~0.4% rel) before the
+    exact f32 per-pixel sum; totals must stay within that envelope and
+    counts/drops must be exact (ops/splat_tile.py pack_bf16)."""
+    from fyp_bidirectionalpathtracer_tpu.ops.splat import (
+        scatter_add_rgba,
+        scatter_add_rgba_direct,
+    )
+
+    rs = np.random.RandomState(1)
+    n = 1000
+    u = 3000
+    lin = jnp.asarray(rs.randint(0, n + 200, u), jnp.int32)
+    rgb = jnp.asarray(np.abs(rs.normal(size=(u, 3))), jnp.float32)
+    alpha = jnp.ones((u,), jnp.float32)
+    d = np.asarray(scatter_add_rgba_direct(lin, rgb, alpha, n))
+    for count in (True, False):
+        t = np.asarray(scatter_add_rgba("tiled_bf16", lin, rgb, alpha, n,
+                                        alpha_is_count=count))
+        np.testing.assert_allclose(d[:, :3], t[:, :3], rtol=6e-3, atol=6e-3)
+        np.testing.assert_array_equal(d[:, 3], t[:, 3])  # alpha=1 is exact bf16
+        # tiled_bf16w: on TPU the bf16 MXU products are exact (0/1 one-hot x
+        # bf16 values) with f32 accumulation; the CPU interpret fallback may
+        # round the partial dot to bf16, so assert the quantization envelope
+        # rather than bit-equality here
+        w = np.asarray(scatter_add_rgba("tiled_bf16w", lin, rgb, alpha, n,
+                                        alpha_is_count=count))
+        np.testing.assert_allclose(d[:, :3], w[:, :3], rtol=2e-2, atol=2e-2)
+        np.testing.assert_array_equal(d[:, 3], w[:, 3])
