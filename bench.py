@@ -78,8 +78,9 @@ def main(width=1280, height=720, depth=3, warmup=3, iters=10):
     rays = width * height * rays_per_pixel(depth)
     mrays = rays / dt / 1e6
 
-    # secondary: textured-scene frame time (VERDICT r1 #3 — the reference's
-    # demo content is textured; record the number alongside Cornell)
+    # secondary: textured-scene frame times (VERDICT r1 #3 — the reference's
+    # demo content is textured; record them alongside Cornell).  pink_room
+    # is the flagship content (10.5k tris, 28 textures, pink_room.fscene).
     try:
         from benchmarks.scene_frame_micro import time_scene
 
@@ -87,6 +88,14 @@ def main(width=1280, height=720, depth=3, warmup=3, iters=10):
         tex_ms = tex["ms_per_frame"]
     except Exception:  # pragma: no cover - keep the headline metric robust
         tex_ms = None
+    try:
+        from benchmarks.scene_frame_micro import time_scene
+
+        pink = time_scene("pink_room", width, height, depth, warmup=1,
+                          iters=3)
+        pink_ms = pink["ms_per_frame"]
+    except Exception:  # pragma: no cover - keep the headline metric robust
+        pink_ms = None
     print(
         json.dumps(
             {
@@ -100,6 +109,7 @@ def main(width=1280, height=720, depth=3, warmup=3, iters=10):
                     "rays_per_pixel": rays_per_pixel(depth),
                     "sec_per_frame": round(dt, 5),
                     "textured_ms_per_frame": tex_ms,
+                    "pink_room_ms_per_frame": pink_ms,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 def time_scene(name: str, width: int, height: int, depth: int,
                warmup: int = 3, iters: int = 10,
-               sort_bounces: bool = False,
+               sort_bounces: bool | None = None,
                const_scene: bool = False) -> dict:
     from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
     from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
@@ -33,9 +33,10 @@ def time_scene(name: str, width: int, height: int, depth: int,
     from fyp_bidirectionalpathtracer_tpu.passes.bmfr import BMFRState
     from fyp_bidirectionalpathtracer_tpu.utils.config import BDPTConfig, RenderConfig
 
+    # None = keep the production default (BDPTConfig.sort_bounces)
+    overrides = {} if sort_bounces is None else {"sort_bounces": sort_bounces}
     cfg = RenderConfig(width=width, height=height,
-                       bdpt=BDPTConfig(max_depth=depth,
-                                       sort_bounces=sort_bounces))
+                       bdpt=BDPTConfig(max_depth=depth, **overrides))
     scene = load_scene(name)
     baked = scene.bake(max_lights=max(16, len(scene.lights)))
     if const_scene:
@@ -81,7 +82,8 @@ def main():
     p.add_argument("scenes", nargs="*", default=["textured"])
     p.add_argument("--size", default="1280x720")
     p.add_argument("--depth", type=int, default=3)
-    p.add_argument("--sort-bounces", action="store_true")
+    p.add_argument("--sort-bounces", action=argparse.BooleanOptionalAction,
+                   default=None)  # None = production default
     p.add_argument("--const-scene", action="store_true")
     args = p.parse_args()
     w, h = (int(x) for x in args.size.split("x"))

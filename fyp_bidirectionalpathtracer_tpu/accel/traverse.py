@@ -346,7 +346,8 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
             else pc.intersect_closest_clusters
         )
 
-        def sort_wavefront(origin, direction, t_min, t_max):
+        def sort_wavefront(origin, direction, t_min, t_max,
+                           const_origin=False):
             """Direction-major sort of an incoherent wavefront
             (ops.raysort.ray_sort_keys_dirq): returns (o, d, t_min, t_max,
             idx) flat in sorted order, where idx is each sorted ray's
@@ -369,8 +370,11 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
             # them after the sort instead of paying sort payload bandwidth
             tn_scalar = jnp.asarray(t_min).ndim == 0
             tm_scalar = t_max is None
-            cols = [keys, o[:, 0], o[:, 1], o[:, 2],
-                    d[:, 0], d[:, 1], d[:, 2]]
+            # const_origin (all rays share one origin — reversed est-2
+            # shadow batches from the camera): rebuild the origin after the
+            # sort instead of carrying 3 payload columns
+            ocols = [] if const_origin else [o[:, 0], o[:, 1], o[:, 2]]
+            cols = [keys] + ocols + [d[:, 0], d[:, 1], d[:, 2]]
             if not tn_scalar:
                 cols.append(jnp.broadcast_to(
                     jnp.asarray(t_min, jnp.float32), shape).reshape(-1))
@@ -378,7 +382,9 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                 cols.append(jnp.broadcast_to(
                     jnp.asarray(t_max, jnp.float32), shape).reshape(-1))
             cols.append(iota)
-            srt = jax.lax.sort(cols, num_keys=1)
+            srt = list(jax.lax.sort(cols, num_keys=1))
+            if const_origin:
+                srt = srt[:1] + [o[:, 0], o[:, 1], o[:, 2]] + srt[1:]
             k = 7
             if tn_scalar:
                 tn = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
@@ -394,7 +400,11 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     tn, tm, srt[k], shape)
 
         def intersect(origin, direction, t_min, t_max=None, closest=True,
-                      cull_backface=False, coherent=True):
+                      cull_backface=False, coherent=True,
+                      const_origin=False):
+            # const_origin: caller promises every ray shares ONE origin
+            # value (reversed est-2 shadow batches from the camera) — the
+            # divergent-sort path then skips 3 sort payload columns.
             if not closest:
                 if coherent:
                     occ = occluded_fn(
@@ -404,7 +414,8 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
                     )
                 else:
                     o, d, tn, tm, idx, shape = sort_wavefront(
-                        origin, direction, t_min, t_max
+                        origin, direction, t_min, t_max,
+                        const_origin=const_origin,
                     )
                     import os as _os
 
@@ -465,8 +476,8 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
         return intersect
 
     def intersect(origin, direction, t_min, t_max=None, closest=True,
-                  cull_backface=False, coherent=True):
-        del coherent  # dense/jnp paths are insensitive to ray order
+                  cull_backface=False, coherent=True, const_origin=False):
+        del coherent, const_origin  # dense/jnp paths: ray order is moot
         if use_pallas:
             if not closest and not cull_backface:
                 # shadow rays: any-hit kernel, ray-in-lanes layout

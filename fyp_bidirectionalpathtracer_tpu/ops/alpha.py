@@ -75,7 +75,9 @@ def wrap_intersector(baked, intersect, max_restarts: int = 4):
     atlas = baked.data.textures
 
     def intersect_alpha(origin, direction, t_min, t_max=None, closest=True,
-                        cull_backface=False, coherent=True):
+                        cull_backface=False, coherent=True,
+                        const_origin=False):
+        del const_origin  # tmin becomes per-lane below; sort carries it
         tmin = jnp.broadcast_to(
             jnp.asarray(t_min, jnp.float32), origin.shape[:-1]
         )

@@ -167,14 +167,17 @@ def scatter_add_rgba(mode: str, lin, rgb, alpha, n_targets: int,
         mode = "tiled" if jax.default_backend() == "tpu" else "direct"
     if mode == "skip":  # timing attribution only: DCEs the whole reduction
         return jnp.zeros((n_targets, 4), jnp.float32) + rgb[0, 0] * 0.0
-    if mode in ("tiled", "tiled_bf16", "tiled_bf16w", "tiled_sortonly"):
+    if mode in ("tiled", "tiled_bf16", "tiled_bf16w", "tiled_rgb8e",
+                "tiled_sortonly"):
         from .splat_tile import scatter_add_rgba_tiled
 
+        pack = {"tiled_bf16": "bf16", "tiled_bf16w": "bf16",
+                "tiled_rgb8e": "rgb8e"}.get(mode, "f32")
         return scatter_add_rgba_tiled(
             lin, rgb, alpha, n_targets, alpha_is_count,
             interpret=jax.default_backend() != "tpu",
-            pack_bf16=mode in ("tiled_bf16", "tiled_bf16w"),
-            mxu_bf16=mode == "tiled_bf16w",
+            pack=pack,
+            mxu_bf16=mode in ("tiled_bf16w", "tiled_rgb8e"),
             sort_only=mode == "tiled_sortonly",
         )
     if mode == "packed":

@@ -101,6 +101,34 @@ def _kernel(blk0_ref, nblk_ref, keys_ref, vals_ref, out_ref,
         jax.lax.fori_loop(0, nb, body, 0)
 
 
+def _exp2i(e):
+    """Exact 2^e for integer e in [-126, 127] (bit-assembled f32)."""
+    return jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+
+
+def _pack_rgb8e(r, g, b):
+    """Non-negative (r,g,b) -> one i32: 3x8-bit shared-exponent mantissas +
+    5-bit exponent (bits 24:29).  With e = floor(log2(max))+1 every mantissa
+    is <= 255 and the decode m * 2^(e-8) is EXACTLY representable in bf16
+    (8-bit mantissa, power-of-two scale), so the bf16 MXU kernel loses
+    nothing further.  Error <= 2^-8 of the update's max channel."""
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    eb = (jax.lax.bitcast_convert_type(mx, jnp.int32) >> 23) & 0xFF
+    e = jnp.clip(eb - 126, -16, 15)          # floor(log2(mx)) + 1
+    scale = _exp2i(8 - e)
+    q = lambda c: jnp.clip(  # noqa: E731
+        jnp.round(c * scale), 0.0, 255.0).astype(jnp.int32)
+    return q(r) | (q(g) << 8) | (q(b) << 16) | ((e + 16) << 24)
+
+
+def _unpack_rgb8e(p):
+    e = ((p >> 24) & 0x1F) - 16
+    inv = _exp2i(e - 8)
+    c = lambda sh: ((p >> sh) & 0xFF).astype(jnp.float32) * inv  # noqa: E731
+    return c(0), c(8), c(16)
+
+
 def _pack2bf16(x, y):
     """Two f32 -> one i32 carrying (bf16(x) << 16) | bf16(y)."""
     xb = jax.lax.bitcast_convert_type(x.astype(jnp.bfloat16), jnp.uint16)
@@ -122,36 +150,50 @@ def _unpack2bf16(p):
 
 @functools.partial(
     jax.jit, static_argnames=("n_targets", "alpha_is_count", "interpret",
-                              "pack_bf16", "mxu_bf16", "sort_only")
+                              "pack", "mxu_bf16", "sort_only")
 )
 def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
                            alpha_is_count: bool = False,
                            interpret: bool = False,
-                           pack_bf16: bool = False,
+                           pack: str = "f32",
                            mxu_bf16: bool = False,
                            sort_only: bool = False):
     """Drop-in for ops.splat.scatter_add_rgba_*: lin [U] i32 targets
     (<0 or >= n_targets dropped), rgb [U,3], alpha [U] -> [n_targets, 4].
 
-    pack_bf16 carries (r,g) — and (b,alpha) when alpha is real — as one
-    bf16x2-packed i32 sort payload column each: the XLA sort is the
-    dominant cost of the reduction and scales with payload bytes.  Each
-    UPDATE is quantized to bf16 (~0.4% relative) before the per-pixel sum;
-    the sums themselves stay exact f32.  The reference's splat is a racy
-    non-atomic f32 RMW (BDPTMain.rt.hlsl:199), so sub-MC-noise input
-    quantization is well inside its own reproducibility envelope."""
+    The XLA sort is the dominant cost of the reduction and scales with
+    payload operands, so `pack` trades per-update input precision for
+    payload columns (the per-pixel SUMS always stay exact f32):
+      'f32'   — exact: r,g,b(,alpha) as separate f32 columns;
+      'bf16'  — (r,g) [and (b,alpha) when alpha is real] as bf16x2-packed
+                i32 columns: ~0.4% relative per channel;
+      'rgb8e' — (alpha_is_count only) ONE i32 column: 8-bit shared-exponent
+                mantissas, <= 2^-8 of the update's max channel (bf16-exact
+                decode, so mxu_bf16 composes losslessly).
+    The reference's splat is a racy non-atomic f32 RMW
+    (BDPTMain.rt.hlsl:199) that can drop whole updates under contention, so
+    sub-MC-noise input quantization is well inside its own reproducibility
+    envelope."""
     u = lin.shape[0]
     n_tiles = _round_up(max(n_targets, 1), TILE) // TILE
     sent = jnp.int32(n_tiles * TILE)
     keys = jnp.where(lin < 0, sent, jnp.minimum(lin, sent))
 
-    if pack_bf16 and alpha_is_count:
+    if pack == "rgb8e":
+        if not alpha_is_count:
+            raise ValueError("pack='rgb8e' requires alpha_is_count")
+        ls, p8 = jax.lax.sort(
+            [keys, _pack_rgb8e(rgb[:, 0], rgb[:, 1], rgb[:, 2])], num_keys=1
+        )
+        r, g, b = _unpack_rgb8e(p8)
+        a = jnp.where(ls < sent, 1.0, 0.0)
+    elif pack == "bf16" and alpha_is_count:
         ls, rg, b = jax.lax.sort(
             [keys, _pack2bf16(rgb[:, 0], rgb[:, 1]), rgb[:, 2]], num_keys=1
         )
         r, g = _unpack2bf16(rg)
         a = jnp.where(ls < sent, 1.0, 0.0)
-    elif pack_bf16:
+    elif pack == "bf16":
         ls, rg, ba = jax.lax.sort(
             [keys, _pack2bf16(rgb[:, 0], rgb[:, 1]),
              _pack2bf16(rgb[:, 2], alpha)], num_keys=1

@@ -320,11 +320,12 @@ def bdpt_pass(
     g_height = height if full_height is None else full_height
     g_row0 = 0 if row0 is None else row0
 
-    def shadow_fn(o, d, tmin, tmax, coherent=True):
+    def shadow_fn(o, d, tmin, tmax, coherent=True, const_origin=False):
         if cfg.debug_stub_shadows:  # timing attribution only
             return jnp.ones(o.shape[:-1], bool)
         return ~intersect(
-            o, d, tmin, tmax, closest=False, coherent=coherent
+            o, d, tmin, tmax, closest=False, coherent=coherent,
+            const_origin=const_origin,
         ).hit
 
     valid = pos4[..., 3] != 0.0
@@ -440,13 +441,25 @@ def bdpt_pass(
     # pink_room) — mixing the populations spreads per-cell origin bounds
     # and lengthens every cell's exact cluster shortlist.
     if n_e1:
-        vis_b = shadow_fn(
-            jnp.stack([camera_path[i + 1].pos for i in range(n_e1)]),
-            jnp.stack([p[0] for p in e1_picks]),
-            cfg.min_t,
-            jnp.stack([p[2] for p in e1_picks]),
-            coherent=not cfg.sort_shadows,
-        )
+        o1 = jnp.stack([camera_path[i + 1].pos for i in range(n_e1)])
+        l1 = jnp.stack([p[0] for p in e1_picks])
+        d1 = jnp.stack([p[2] for p in e1_picks])
+        if cfg.reverse_shadows:
+            # trace from the light point toward the vertex: same open
+            # segment (min_t, dist) walked from the other end (t' = dist-t),
+            # but every lane's origin is a light position — with the
+            # direction sort the batch becomes per-light cones (see
+            # utils.config.BDPTConfig.reverse_shadows).  The light position
+            # reconstructs exactly as the eval_light pseudo-position:
+            # pos + l*dist (scene.lights.eval_light).
+            vis_b = shadow_fn(
+                o1 + l1 * d1[..., None], -l1, 0.0, d1 - cfg.min_t,
+                coherent=not cfg.sort_shadows,
+            )
+        else:
+            vis_b = shadow_fn(
+                o1, l1, cfg.min_t, d1, coherent=not cfg.sort_shadows,
+            )
     if e3_pairs:
         # the reference's TMax is exactly lengthAB (BDPTMain.rt.hlsl:218-223)
         # with the far endpoint ON the connected surface, so accepting a hit
@@ -461,13 +474,23 @@ def bdpt_pass(
             coherent=False,
         )
     if n_e2:
-        e2_vis = shadow_fn(
-            jnp.stack([light_path[i + 1].pos for i in range(n_e2)]),
-            jnp.stack([g[0] for g in e2_geom]),
-            cfg.min_t,
-            jnp.stack([g[1] for g in e2_geom]),
-            coherent=not cfg.sort_shadows,
-        )
+        d2 = jnp.stack([g[0] for g in e2_geom])
+        dis2 = jnp.stack([g[1] for g in e2_geom])
+        if cfg.reverse_shadows:
+            # from the camera toward the light vertex: one shared EXACT
+            # origin for the whole batch (a cone after the direction sort)
+            e2_vis = shadow_fn(
+                jnp.broadcast_to(cam.pos_w, d2.shape), -d2, 0.0,
+                dis2 - cfg.min_t,
+                coherent=not cfg.sort_shadows,
+                const_origin=True,  # one camera origin -> 3 fewer sort cols
+            )
+        else:
+            e2_vis = shadow_fn(
+                jnp.stack([light_path[i + 1].pos for i in range(n_e2)]),
+                d2, cfg.min_t, dis2,
+                coherent=not cfg.sort_shadows,
+            )
 
     # --- estimator 1: path tracing with NEE ---
     # The reference evaluates evalDirect per depth sequentially; the light

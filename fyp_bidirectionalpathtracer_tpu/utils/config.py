@@ -79,6 +79,24 @@ class BDPTConfig:
     # cluster shortlist ~5x (consv_gap micro: 125 -> 26.3 visits/cell);
     # flag so the frame-level win/loss is measurable.
     sort_shadows: bool = True
+    # Trace est-1/est-2 shadow rays REVERSED — from the light point / camera
+    # toward the surface vertex instead of the reference's vertex-outward
+    # orientation (BDPTMain.rt.hlsl:118-120, 191-196).  Any-hit visibility
+    # over an open segment is orientation-symmetric (no backface culling on
+    # shadow rays), and the reversed wavefront shares ONE origin per lane
+    # population (the camera; each light), so the direction-major sort turns
+    # it into single-origin cones.  MEASURED NET-NEGATIVE on v5e
+    # (pink_room 779.9 -> 789.7 ms/frame at 720p d=3): the direction-sorted
+    # vertex-outward batches are already as coherent as the cones (origins
+    # lie on visible surfaces, directions converge), the any-hit kernel has
+    # no best_t for the front-to-back order to exploit, and the reversal
+    # pays an lpos reconstruction per lane.  Kept behind this flag as a
+    # recorded negative (equivalence-tested:
+    # tests/test_features.py::test_reverse_shadows_matches_reference_orientation).
+    # Differences vs the reference orientation are pure FP rounding at
+    # grazing hits (same open interval (min_t, dist) tested from the other
+    # end); est-3 connection rays keep their orientation either way.
+    reverse_shadows: bool = False
     # --- timing-attribution stubs (NEVER for rendering; both break the
     # image).  debug_stub_shadows short-circuits every estimator visibility
     # query to "visible"; debug_stub_extensions skips the subpath extension

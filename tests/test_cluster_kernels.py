@@ -278,3 +278,23 @@ def test_sorted_tracer_matches_unsorted(spheres):
         a, b = getattr(sd0, name), getattr(sd2, name)
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, err_msg="lean " + name)
+
+
+def test_const_origin_sorted_anyhit_matches(spheres):
+    """The const_origin sort-payload shortcut (accel/traverse.sort_wavefront:
+    rebuild the shared origin after the sort instead of carrying 3 payload
+    columns) must be invisible: same occlusion bits as the general path for
+    a single-origin wavefront (the reversed est-2 shadow batch shape)."""
+    inter = spheres.intersector()
+    rs = np.random.RandomState(7)
+    n = 700
+    o = jnp.broadcast_to(jnp.asarray([2.0, 1.0, -2.0], jnp.float32), (n, 3))
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax = jnp.full((n,), 6.0)
+    h_gen = inter(o, d, 1e-3, tmax, closest=False, coherent=False)
+    h_const = inter(o, d, 1e-3, tmax, closest=False, coherent=False,
+                    const_origin=True)
+    np.testing.assert_array_equal(np.asarray(h_gen.hit),
+                                  np.asarray(h_const.hit))

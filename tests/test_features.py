@@ -275,3 +275,22 @@ def test_mis_power_full_pipeline_consistent():
     mean_p, var_p = stats("power")
     assert abs(mean_p - mean_u) < 0.05 * mean_u, (mean_p, mean_u)
     assert var_p <= var_u * 1.02, (var_p, var_u)
+
+
+def test_reverse_shadows_matches_reference_orientation():
+    """reverse_shadows traces the SAME open visibility segment from the
+    other end (passes/bdpt.py est-1/est-2; PARITY.md) — images must agree
+    to FP-at-grazing-incidence level, not just statistically."""
+    baked = Scene.from_built(cornell_box(), aspect=1.0).bake()
+    outs = {}
+    for rev in (True, False):
+        cfg = RenderConfig(
+            width=SIZE, height=SIZE,
+            bdpt=BDPTConfig(megakernel="off", reverse_shadows=rev),
+        )
+        outs[rev] = np.asarray(Renderer(baked, cfg).render(2))
+    d = np.abs(outs[True] - outs[False])
+    assert np.isfinite(d).all()
+    # identical except (rare) grazing-incidence visibility flips
+    assert (d > 1e-4).mean() < 0.01, (d > 1e-4).mean()
+    assert d.mean() < 1e-3

@@ -193,3 +193,14 @@ def test_splat_tiled_bf16_tolerance():
                                         alpha_is_count=count))
         np.testing.assert_allclose(d[:, :3], w[:, :3], rtol=2e-2, atol=2e-2)
         np.testing.assert_array_equal(d[:, 3], w[:, 3])
+    # rgb8e: one packed sort column, error <= 2^-8 of each update's MAX
+    # channel (shared exponent) — assert against a per-pixel envelope of
+    # sum(max_channel) * 2^-8
+    w8 = np.asarray(scatter_add_rgba("tiled_rgb8e", lin, rgb, alpha, n,
+                                     alpha_is_count=True))
+    mx = np.asarray(rgb).max(-1)
+    env = np.zeros(n)
+    kept = np.asarray(lin) < n
+    np.add.at(env, np.asarray(lin)[kept], mx[kept] * (2.0 ** -8))
+    assert np.all(np.abs(d[:, :3] - w8[:, :3]) <= env[:, None] + 1e-6)
+    np.testing.assert_array_equal(d[:, 3], w8[:, 3])
