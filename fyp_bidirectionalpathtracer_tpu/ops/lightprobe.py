@@ -335,3 +335,65 @@ class LightProbe:
         self.specular = integrate_specular_ld(env, spec_size, spec_samples,
                                               spec_mips)
         self.dfg = integrate_dfg()
+
+
+# ------------------------------------------------------------ evaluation
+def _get_diffuse_dominant_dir(n, v, roughness):
+    """getDiffuseDominantDir (Lights.slang:140-146)."""
+    a = 1.02341 * roughness - 1.51174
+    b = -0.511705 * roughness + 0.755868
+    factor = saturate((saturate(dot(n, v)) * a + b) * roughness)
+    return normalize(n + (v - n) * factor[..., None])
+
+
+def _get_specular_dominant_dir(n, r, roughness):
+    """getSpecularDominantDir (Lights.slang:148-153)."""
+    smoothness = 1.0 - roughness
+    factor = smoothness * (jnp.sqrt(smoothness) + roughness)
+    return normalize(n + (r - n) * factor[..., None])
+
+
+def eval_probe(probe: LightProbe, n, v, diffuse, specular, roughness):
+    """Shade with a pre-integrated GLOBAL probe (radius < 0, intensity 1) —
+    evalLightProbeLinear2D (Lights.slang:155-226) composed through the
+    probe overload of evalMaterial (Shading.slang:330-340).
+
+    Inputs are per-lane [..., 3] / [...] G-buffer fields; `roughness` is
+    sd.roughness = linearRoughness^2 (Shading.slang:236-237).  Returns the
+    probe-lit rgb [..., 3].
+    """
+    dfg = probe.dfg
+    dfg_w = dfg.shape[1]
+    n_dot_v = saturate(dot(n, v))
+
+    # ls.L = reflect(-V, N) (Lights.slang:208)
+    l = reflect(-v, n)
+
+    # diffuse: LD map at the diffuse dominant dir x DFG blue channel
+    nd = _get_diffuse_dominant_dir(n, v, roughness)
+    ud, vd = ws_vector_to_latlong(nd)
+    diffuse_lighting = _bilinear_fetch(probe.diffuse, ud, vd)
+    diff_f = _bilinear_fetch(dfg, n_dot_v, roughness)[..., 2:3]
+    ls_diffuse = diffuse_lighting * diff_f
+
+    # specular: LD mip chain at the specular dominant dir x split-sum DFG
+    mip_count = probe.specular.shape[0]
+    dominant = _get_specular_dominant_dir(n, l, roughness)
+    n_dot_v_s = jnp.maximum(n_dot_v, 0.5 / dfg_w)
+    # linearRoughnessToLod with sd.roughness passed in, as shipped
+    # (Lights.slang:191 and its #TODO comment)
+    mip = jnp.sqrt(roughness) * (mip_count - 1)
+    us, vs = ws_vector_to_latlong(dominant)
+    ld = _pyramid_fetch(probe.specular, us, vs, mip)
+    dfg_xy = _bilinear_fetch(dfg, n_dot_v_s, roughness)
+    ls_specular = ld * (specular * dfg_xy[..., 0:1] + dfg_xy[..., 1:2])
+
+    # evalMaterial(sd, probe): diffuse term + saturate(evalGGX)-scaled
+    # specular (Shading.slang:334-339; NdotH from H = normalize(V + L))
+    h = normalize(v + l)
+    n_dot_h = dot(n, h)
+    a2 = roughness * roughness
+    d = (n_dot_h * a2 - n_dot_h) * n_dot_h + 1.0
+    eval_ggx = a2 / (d * d)
+    return (diffuse * ls_diffuse
+            + saturate(eval_ggx)[..., None] * ls_specular * specular)

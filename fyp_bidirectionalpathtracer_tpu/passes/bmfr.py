@@ -504,13 +504,16 @@ def regression(cur_pos, cur_norm, albedo, noisy, frame_number, cfg: BMFRConfig):
 def regression_sharded(cur_pos, cur_norm, albedo, noisy, frame_number,
                        cfg: BMFRConfig, axis_name: str, n_shards: int,
                        full_h: int):
-    """`regression` under shard_map row sharding — bit-matches the
-    single-chip output.
+    """`regression` under shard_map row sharding — matches the single-chip
+    output within 1e-5 (tests/test_parallel.py::test_bmfr_sharded_matches_single;
+    the recomputed boundary blocks see identical halo data, but XLA may fuse
+    and order the per-shard QR arithmetic differently, so equality is
+    tolerance-level, not bitwise).
 
     Each shard computes exactly the 32x32 blocks that intersect its owned
     rows; blocks straddling a shard boundary are recomputed by both
-    neighbours from identical halo data (same values -> same QR -> same
-    fit), and each shard writes back only its own rows.  Halo: 32 rows
+    neighbours from identical halo data, and each shard writes back only
+    its own rows.  Halo: 32 rows
     above + (32*n_loc - sub_h) <= 63 rows below, one ppermute each over
     ICI (reference block grid: regressionCP.hlsl:28-58,
     DenoisePass.cpp:262-268)."""

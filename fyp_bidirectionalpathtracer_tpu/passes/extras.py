@@ -108,6 +108,50 @@ def diffuse_gi_pass(
     return jnp.concatenate([out, jnp.ones((h, w, 1), jnp.float32)], -1)
 
 
+def probe_lit_pass(baked, intersect, channels, probe, min_t: float = 1e-3):
+    """Probe-lit shading: analytic direct lighting (one shadow ray per
+    light, Lambertian — lambertianPlusShadows.rt.hlsl) plus pre-integrated
+    light-probe IBL (the SceneRenderer probe binding feeding the
+    evalMaterial probe overload, Graphics/Scene/SceneRenderer.cpp:114-145 ->
+    Shading.slang:330-340).  `probe` is an ops.lightprobe.LightProbe built
+    from the scene env map; roughness is decoded from the G-buffer exactly
+    like prepareShadingData (sd.roughness = linearRoughness^2,
+    Shading.slang:236-237)."""
+    from ..ops.lightprobe import eval_probe
+    from ..scene.lights import eval_light
+
+    pos4 = channels["WorldPosition"]
+    norm4 = channels["WorldNormal"]
+    dif4 = channels["MaterialDiffuse"]
+    spec4 = channels["MaterialSpecRough"]
+    cam = baked.data.camera
+    h, w = pos4.shape[0], pos4.shape[1]
+    valid = pos4[..., 3] != 0.0
+    pos = pos4[..., :3]
+    n = norm4[..., :3]
+    v = normalize(cam.pos_w - pos)
+    lin_rough = jnp.maximum(spec4[..., 3], 0.08)
+    roughness = lin_rough * lin_rough
+
+    lights = baked.data.lights
+    direct = jnp.zeros((h, w, 3), jnp.float32)
+    n_lights = int(lights.pos_w.shape[0])
+    for li in range(n_lights):
+        idx = jnp.full((h, w), li, jnp.int32)
+        l, inten, dist, _ = eval_light(lights, idx, pos)
+        ndl = saturate(dot(n, l))
+        vis = ~intersect(pos, l, min_t, t_max=dist, closest=False).hit
+        active = (li < lights.count) & vis
+        direct = direct + jnp.where(
+            active[..., None], ndl[..., None] * inten, 0.0
+        )
+    direct = direct * dif4[..., :3] / jnp.pi
+
+    ambient = eval_probe(probe, n, v, dif4[..., :3], spec4[..., :3], roughness)
+    out = jnp.where(valid[..., None], direct + ambient, dif4[..., :3])
+    return jnp.concatenate([out, jnp.ones((h, w, 1), jnp.float32)], -1)
+
+
 def tone_mapping_pass(channels, src: str = "PipelineOutput", operator: str = "clamp"):
     """SimpleToneMappingPass wrapper over ops.tonemap."""
     img = channels[src]

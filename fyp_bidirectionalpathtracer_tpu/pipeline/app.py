@@ -46,6 +46,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--env-bilinear", action="store_true",
                    help="bilinear env-map filtering (default: nearest, "
                         "reference parity)")
+    p.add_argument("--probe", action="store_true",
+                   help="pre-integrate the environment map into a light "
+                        "probe (LightProbe.cpp:140-167) and also write a "
+                        "probe-lit render of the final G-buffer "
+                        "(probe_lit.png)")
     p.add_argument("--animate", action="store_true",
                    help="advance the scene camera path each frame")
     p.add_argument("--fixedtimedelta", type=float, default=1.0 / 60.0,
@@ -247,6 +252,27 @@ def main(argv=None) -> dict:
     final = os.path.join(args.outputdir, args.output)
     write_png(final, renderer.display())
     results["output"] = final
+
+    if args.probe:
+        # LightProbe consumer: pre-integrate the loaded env map once
+        # (Graphics/LightProbe.cpp:140-167) and shade the final frame's
+        # G-buffer with analytic direct + probe IBL (probe_lit_pass).
+        # Sizes are demo-scale; the API defaults mirror LightProbe.h:48-51.
+        import jax.numpy as jnp
+
+        from ..ops.lightprobe import LightProbe
+        from ..ops.tonemap import OPERATOR_NAMES, tone_map
+        from ..passes.extras import probe_lit_pass
+
+        probe = LightProbe(baked.data.env_map, diff_samples=1024,
+                           spec_samples=256, diff_size=64, spec_size=128,
+                           spec_mips=6)
+        img = probe_lit_pass(renderer.baked, renderer.baked.intersector(),
+                             renderer.channels, probe)
+        probe_path = os.path.join(args.outputdir, "probe_lit.png")
+        write_png(probe_path, tone_map(
+            jnp.asarray(img)[..., :3], OPERATOR_NAMES[args.tonemap]))
+        results["probe_lit"] = probe_path
     steady = results["frame_times"][1:] or results["frame_times"]
     results["sec_per_frame"] = sum(steady) / max(len(steady), 1)
 

@@ -175,3 +175,63 @@ def test_lightprobe_bundle_shapes(cls):
     assert probe.diffuse.shape == (4, 4, 3)
     assert probe.specular.shape == (2, 4, 4, 3)
     assert probe.dfg.shape == (128, 128, 3)
+
+
+def test_eval_probe_constant_env_orientation_invariant():
+    """With a constant env the probe maps are constant, so eval_probe
+    depends only on (NdotV, roughness, albedo) — rotating the frame must
+    not change the result (Lights.slang:155-201 reads only direction
+    lookups, which constant maps make orientation-free)."""
+    from fyp_bidirectionalpathtracer_tpu.ops.lightprobe import (
+        LightProbe,
+        eval_probe,
+    )
+
+    env = jnp.full((8, 16, 3), 0.6, jnp.float32)
+    probe = LightProbe(env, diff_samples=32, spec_samples=16, diff_size=8,
+                       spec_size=8, spec_mips=3)
+    dif = jnp.full((2, 3), 0.5, jnp.float32)
+    spec = jnp.full((2, 3), 0.04, jnp.float32)
+    rough = jnp.full((2,), 0.25, jnp.float32)
+    c, s = np.cos(0.3), np.sin(0.3)
+    n = jnp.asarray([[0.0, 0.0, 1.0], [0.0, s, c]], jnp.float32)
+    v = jnp.asarray([[s, 0.0, c], [s * c, -s * s + 0.0, 0.0]], jnp.float32)
+    # build the second view dir with the same NdotV by rotating frame 1
+    rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    v = jnp.asarray(np.stack([[s, 0.0, c], rot @ np.array([s, 0.0, c])]),
+                    jnp.float32)
+    out = np.asarray(eval_probe(probe, n, v, dif, spec, rough))
+    assert np.all(np.isfinite(out)) and np.all(out >= 0.0)
+    # small residual: the 8x8 lat-long maps are constant only to ~5e-4
+    # (edge-clamped bilinear taps near the poles)
+    np.testing.assert_allclose(out[0], out[1], rtol=2e-3, atol=1e-4)
+
+
+def test_probe_lit_pass_golden():
+    """Consumer golden: Cornell G-buffer shaded with direct + probe IBL
+    (passes/extras.probe_lit_pass; reference consumer SceneRenderer ->
+    evalMaterial probe overload, Shading.slang:330-340)."""
+    from fyp_bidirectionalpathtracer_tpu.models.procedural import cornell_box
+    from fyp_bidirectionalpathtracer_tpu.ops.lightprobe import LightProbe
+    from fyp_bidirectionalpathtracer_tpu.ops.tonemap import tone_map
+    from fyp_bidirectionalpathtracer_tpu.passes.extras import probe_lit_pass
+    from fyp_bidirectionalpathtracer_tpu.passes.gbuffer import (
+        pixel_jitter_for_frame,
+        ray_traced_gbuffer,
+    )
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import make_shaded_tracer
+    from fyp_bidirectionalpathtracer_tpu.scene.scene import Scene
+    from fyp_bidirectionalpathtracer_tpu.utils.testing import golden_compare
+
+    baked = Scene.from_built(cornell_box(), aspect=1.0).bake()
+    frame = jnp.uint32(0xDEADBEEF)
+    jitter = pixel_jitter_for_frame(frame, "msaa8")
+    trace = make_shaded_tracer(baked)
+    channels = ray_traced_gbuffer(baked, trace, 64, 64, frame, jitter)
+    probe = LightProbe(baked.data.env_map, diff_samples=256,
+                       spec_samples=64, diff_size=16, spec_size=32,
+                       spec_mips=4)
+    img = probe_lit_pass(baked, baked.intersector(), channels, probe)
+    out = np.asarray(img)
+    assert np.all(np.isfinite(out))
+    golden_compare("cornell_probe_lit_64", tone_map(jnp.asarray(out[..., :3]), 0))
