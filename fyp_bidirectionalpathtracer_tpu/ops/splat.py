@@ -160,11 +160,17 @@ MODES = {
 
 def scatter_add_rgba(mode: str, lin, rgb, alpha, n_targets: int,
                      alpha_is_count: bool = False):
-    """Dispatch by mode; 'auto' = 'tiled' on TPU (sort + MXU one-hot tile
-    accumulation, see ops/splat_tile.py), 'direct' elsewhere (keeps CPU
-    golden images on the reference-ordered summation)."""
+    """Dispatch by mode; 'auto' on TPU = 'tiled_rgb8e' when alpha is a count
+    (the estimator-2 splat: ONE i32 sort payload, bf16-exact decode — full
+    pipeline 21.9 vs 27.0 ms/frame for plain 'tiled' on Cornell 720p d=3,
+    benchmarks/cornell_splat_micro.py) falling back to 'tiled_bf16w' for
+    general alphas; 'direct' elsewhere (keeps CPU golden images on the
+    reference-ordered summation)."""
     if mode == "auto":
-        mode = "tiled" if jax.default_backend() == "tpu" else "direct"
+        if jax.default_backend() == "tpu":
+            mode = "tiled_rgb8e" if alpha_is_count else "tiled_bf16w"
+        else:
+            mode = "direct"
     if mode == "skip":  # timing attribution only: DCEs the whole reduction
         return jnp.zeros((n_targets, 4), jnp.float32) + rgb[0, 0] * 0.0
     if mode in ("tiled", "tiled_bf16", "tiled_bf16w", "tiled_rgb8e",

@@ -149,6 +149,40 @@ def _extend_rows(x, n_top, n_bot, axis_name, n_shards, full_h, mode):
     )
 
 
+def _pack_hist_bf16(hist13):
+    """[H,W,13] f32 history [pos3|norm3|noisy_rgb3|spp|filtered3] -> [H,W,7]
+    i32 of bf16x2 pairs (see BMFRConfig.history_pack).  Pair layout:
+    (px,py)(pz,nx)(ny,nz)(nr,ng)(nb,spp)(fr,fg)(fb,0)."""
+    from ..ops.splat_tile import _pack2bf16
+
+    pairs = []
+    order = list(range(13)) + [None]  # pad to 14 = 7 pairs
+    for k in range(7):
+        a = hist13[..., order[2 * k]]
+        bidx = order[2 * k + 1]
+        b = jnp.zeros_like(a) if bidx is None else hist13[..., bidx]
+        pairs.append(_pack2bf16(a, b))
+    return jnp.stack(pairs, -1)
+
+
+def _unpack_hist_bf16(taps_i):
+    """[H,W,28] i32 (4 taps x 7 pairs) -> (taps [H,W,40] in the f32 layout
+    [pos3|norm3|noisy_rgb3|spp] per tap, filt_taps [H,W,12])."""
+    from ..ops.splat_tile import _unpack2bf16
+
+    taps_cols = []
+    filt_cols = []
+    for t in range(4):
+        p = taps_i[..., 7 * t:7 * (t + 1)]
+        vals = []
+        for k in range(7):
+            a, b = _unpack2bf16(p[..., k])
+            vals.extend([a, b])
+        taps_cols.extend(vals[:10])      # pos3 norm3 rgb3 spp
+        filt_cols.extend(vals[10:13])    # filtered rgb
+    return jnp.stack(taps_cols, -1), jnp.stack(filt_cols, -1)
+
+
 def _hash_random(a):
     """random() (regressionCP.hlsl:78-87): integer hash -> [0,1) float."""
     a = a.astype(jnp.uint32)
@@ -163,11 +197,14 @@ def _hash_random(a):
 
 # ------------------------------------------------------------- preprocess
 def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
-               cfg: BMFRConfig, *, hist=None, hist_y0=0, full_h=None):
+               cfg: BMFRConfig, *, hist=None, hist_y0=0, full_h=None,
+               pack: str = "f32"):
     """Temporal reprojection + first blend (preprocess.ps.hlsl).
 
     Returns (blended_noisy [H,W,4] with spp in alpha, accept_bits [H,W] int32,
-    prev_pixel_f [H,W,2]).
+    prev_pixel_f [H,W,2], filt_taps) where filt_taps is the postprocess's
+    [H,W,12] prev_filtered tap block when pack='bf16' fetched it alongside
+    (one shared index vector), else None.
 
     Sharded use: `hist` is a pre-assembled [Hh, W, 10] history window
     ([prev_pos3 | prev_norm3 | prev_noisy4]) whose row 0 is GLOBAL row
@@ -207,14 +244,28 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
 
     # packed 2x2-neighborhood history -> ONE gather for all 4 bilinear taps
-    if hist is None:
-        hist = jnp.concatenate(
-            [state.prev_pos[..., :3], state.prev_norm[..., :3], state.prev_noisy],
-            axis=-1,
-        )
-    hist_h = hist.shape[0]
-    history = _pack_2x2(hist)  # [Hh+1, W+1, 40]
-    taps = _gather_2x2(history, base, hist_h, w, y0=hist_y0)  # [H, W, 40]
+    filt_taps = None
+    if pack == "bf16":
+        # combined 13-value/tap fetch incl. the postprocess's prev_filtered
+        # taps: 28 i32 cols = 2 gathers instead of pre 3 + post 1
+        if hist is None:
+            hist = jnp.concatenate(
+                [state.prev_pos[..., :3], state.prev_norm[..., :3],
+                 state.prev_noisy, state.prev_filtered[..., :3]], axis=-1,
+            )
+        hist_h = hist.shape[0]
+        history = _pack_2x2(_pack_hist_bf16(hist))  # [Hh+1, W+1, 28] i32
+        taps_i = _gather_2x2(history, base, hist_h, w, y0=hist_y0)
+        taps, filt_taps = _unpack_hist_bf16(taps_i)
+    else:
+        if hist is None:
+            hist = jnp.concatenate(
+                [state.prev_pos[..., :3], state.prev_norm[..., :3],
+                 state.prev_noisy], axis=-1,
+            )
+        hist_h = hist.shape[0]
+        history = _pack_2x2(hist)  # [Hh+1, W+1, 40]
+        taps = _gather_2x2(history, base, hist_h, w, y0=hist_y0)  # [H, W, 40]
 
     prev_color = jnp.zeros_like(color)
     sample_spp = jnp.zeros((h, w), jnp.float32)
@@ -261,7 +312,7 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
         xs = jnp.arange(w)[None, :, None]
         right = xs >= ((w + 1) // 2)
         out = jnp.where(right, cur_noisy, out)
-    return out, accept, pixel_f
+    return out, accept, pixel_f, filt_taps
 
 
 # ------------------------------------------------------------- regression
@@ -557,8 +608,11 @@ def regression_sharded(cur_pos, cur_norm, albedo, noisy, frame_number,
 
 # ------------------------------------------------------------ postprocess
 def postprocess(state: BMFRState, filtered, accept, prev_pixel_f, cfg: BMFRConfig,
-                *, hist=None, hist_y0=0):
+                *, hist=None, hist_y0=0, taps=None):
     """Second temporal accumulation (postprocess.ps.hlsl).
+
+    `taps` short-circuits the prev_filtered fetch with a pre-gathered
+    [H,W,12] tap block (the bf16 combined fetch in preprocess).
 
     Sharded use: `hist` is the [Hh, W, 3] prev_filtered window with global
     row `hist_y0` first, assembled with the SAME margin as preprocess so the
@@ -577,10 +631,11 @@ def postprocess(state: BMFRState, filtered, accept, prev_pixel_f, cfg: BMFRConfi
         frac[..., 0] * frac[..., 1],
     ]
     offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
-    if hist is None:
-        hist = state.prev_filtered[..., :3]
-    pack = _pack_2x2(hist)
-    taps = _gather_2x2(pack, base, hist.shape[0], w, y0=hist_y0)  # [H, W, 12]
+    if taps is None:
+        if hist is None:
+            hist = state.prev_filtered[..., :3]
+        pack = _pack_2x2(hist)
+        taps = _gather_2x2(pack, base, hist.shape[0], w, y0=hist_y0)  # [H,W,12]
     prev_color = jnp.zeros_like(color)
     total_weight = jnp.zeros((h, w), jnp.float32)
     for i, _ in enumerate(offsets):
@@ -646,6 +701,15 @@ def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig,
     ys = jnp.arange(noisy.shape[0], dtype=jnp.float32)[:, None]
     prev_pixel_f = jnp.stack(jnp.broadcast_arrays(xs, ys), -1)
 
+    pack = cfg.history_pack
+    if pack == "auto":
+        pack = "bf16" if jax.default_backend() == "tpu" else "f32"
+    if sharded or not (cfg.preprocess and cfg.postprocess):
+        # combined fetch needs both stages' taps on one index vector; the
+        # sharded halo windows stay on the exact f32 path
+        pack = "f32"
+
+    filt_taps = None
     if cfg.preprocess:
         hist = None
         if sharded:
@@ -656,9 +720,9 @@ def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig,
                 ),
                 margin, margin, axis_name, n_shards, full_h, "zero",
             )
-        noisy, accept, prev_pixel_f = preprocess(
+        noisy, accept, prev_pixel_f, filt_taps = preprocess(
             state, cur_pos, cur_norm, noisy, camera.prev_view_proj, cfg,
-            hist=hist, hist_y0=hist_y0, full_h=full_h,
+            hist=hist, hist_y0=hist_y0, full_h=full_h, pack=pack,
         )
 
     # history blits (DenoisePass.cpp:180-182)
@@ -684,7 +748,7 @@ def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig,
             )
         accumulated = postprocess(
             state, noisy, accept, prev_pixel_f, cfg,
-            hist=hist_f, hist_y0=hist_y0,
+            hist=hist_f, hist_y0=hist_y0, taps=filt_taps,
         )
         out = accumulated
         state = state.replace(prev_filtered=accumulated)

@@ -36,11 +36,15 @@ class BDPTConfig:
     enable_path_tracing: bool = True    # estimator 1 (NEE path tracing)
     enable_light_tracing: bool = True   # estimator 2 (camera splats)
     enable_connections: bool = True     # estimator 3 (s,t connections)
-    # splat accumulation strategy (see ops.splat.MODES): 'auto' = packed on
-    # TPU / direct elsewhere; 'direct' 4 flat scatter-adds, 'sorted'
-    # sort+segment-sum+per-channel sorted scatter, 'packed' sort+segment-sum
-    # +one i32 scatter-max+one wide gather, 'complex' two complex64
-    # scatter-adds (measured 10x slower on TPU; kept for documentation)
+    # splat accumulation strategy (see ops.splat.MODES): 'auto' =
+    # tiled_rgb8e on TPU (sort + MXU one-hot tile sums with an 8-bit
+    # shared-exponent payload pack; full-pipeline 21.9 vs 27.0 ms/frame for
+    # plain 'tiled', benchmarks/cornell_splat_micro.py) / direct elsewhere;
+    # 'direct' 4 flat scatter-adds, 'sorted' sort+segment-sum+per-channel
+    # sorted scatter, 'packed' sort+segment-sum+one i32 scatter-max+one wide
+    # gather, 'complex' two complex64 scatter-adds (measured 10x slower on
+    # TPU; kept for documentation), 'tiled*' the Pallas tile kernel family
+    # (ops/splat_tile.py)
     splat_mode: str = "auto"
     # whole-frame megakernel (accel.pallas_frame): 'auto' uses it on TPU for
     # scenes in its scope (untextured, constant env, pinhole, uniform
@@ -146,6 +150,20 @@ class BMFRConfig:
     normal_limit_sq: float = 1.0
     blend_alpha: float = 0.2
     second_blend_alpha: float = 0.1
+    # history fetch packing for the reprojection taps (pre+postprocess):
+    # 'f32'  — exact: [pos3|norm3|noisy4] (40 packed cols, 3 gathers) in
+    #          preprocess + [filtered3] (12 cols, 1 gather) in postprocess;
+    # 'bf16' — ONE combined 13-value/tap history table packed as bf16x2
+    #          pairs (28 i32 cols -> 2 gathers sharing one index vector).
+    #          TPU gather cost is per index per <=16-col fetch, so this
+    #          halves the reprojection fetch cost.  Deviation: history
+    #          pos/norm/colors quantized to bf16 (<= 2^-8 relative; the
+    #          accept thresholds are 0.1 position / 1.0 normal distances,
+    #          and spp <= 256 is bf16-EXACT while both blend-alpha floors
+    #          make spp > 10 behaviorally irrelevant).  The reference keeps
+    #          f32 history textures (DenoisePass.cpp:26-37).
+    # 'auto' — bf16 on single-chip TPU, f32 elsewhere (tests, sharded).
+    history_pack: str = "auto"
     # multi-chip only: rows of prev-frame history exchanged across shard
     # boundaries for the reprojection taps (no reference equivalent — the
     # reference is single-GPU).  Taps reprojecting further than this are

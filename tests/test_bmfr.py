@@ -134,7 +134,7 @@ def test_preprocess_static_camera_accumulates():
     # plane was built exactly in NDC, so identity works.
     vp = jnp.eye(4)
     cfg = BMFRConfig(half_screen_debug=False)
-    out, accept, prev_pix = bmfr.preprocess(state, pos, norm, noisy4, vp, cfg)
+    out, accept, prev_pix, _ = bmfr.preprocess(state, pos, norm, noisy4, vp, cfg)
     out = np.asarray(out)
     assert np.isfinite(out).all()
     # most pixels accept history -> spp == 2
@@ -147,7 +147,7 @@ def test_preprocess_first_frame_passthrough():
     pos, norm, albedo, noisy4, _ = _flat_scene_channels(lambda u, v: np.full((H, W, 3), 0.5, np.float32))
     state = bmfr.BMFRState.create(H, W)
     cfg = BMFRConfig(half_screen_debug=False)
-    out, accept, _ = bmfr.preprocess(state, pos, norm, noisy4, jnp.eye(4), cfg)
+    out, accept, _, _ = bmfr.preprocess(state, pos, norm, noisy4, jnp.eye(4), cfg)
     np.testing.assert_allclose(np.asarray(out)[..., :3], np.asarray(noisy4)[..., :3], atol=1e-6)
     assert np.all(np.asarray(accept) == 0)
     assert np.all(np.asarray(out)[..., 3] == 1.0)
@@ -176,8 +176,40 @@ def test_half_screen_gate():
         frame_number=jnp.asarray(1, jnp.int32),
     )
     cfg = BMFRConfig(half_screen_debug=True)
-    out, _, _ = bmfr.preprocess(state, pos, norm, noisy4, jnp.eye(4), cfg)
+    out, _, _, _ = bmfr.preprocess(state, pos, norm, noisy4, jnp.eye(4), cfg)
     # right half passes through unchanged
     np.testing.assert_array_equal(
         np.asarray(out)[:, (W + 1) // 2:], np.asarray(noisy4)[:, (W + 1) // 2:]
     )
+
+
+def test_history_pack_bf16_matches_f32():
+    """The combined bf16x2 history fetch (BMFRConfig.history_pack='bf16':
+    28 i32 cols, 2 gathers) must reproduce the exact f32 path within bf16
+    quantization of the history (<= 2^-8 relative), with identical accept
+    decisions away from the thresholds, over a multi-frame run with
+    cross-pixel motion."""
+    import types
+
+    def color_fn(u, v):
+        return np.stack([0.5 + 0.4 * u, 0.5 - 0.3 * v, 0.4 + 0.2 * u * v],
+                        -1).astype(np.float32)
+
+    outs = {}
+    for pack in ("f32", "bf16"):
+        cfg = BMFRConfig(enabled=True, preprocess=True, regression=True,
+                         postprocess=True, half_screen_debug=False,
+                         history_pack=pack)
+        state = bmfr.BMFRState.create(H, W)
+        for frame in range(3):
+            pos, norm, albedo, noisy4, _ = _flat_scene_channels(
+                color_fn, seed=frame)
+            pvp = jnp.eye(4).at[1, 3].set(-0.004 * frame)
+            cam = types.SimpleNamespace(prev_view_proj=pvp)
+            channels = {"WorldPosition": pos, "WorldNormal": norm,
+                        "MaterialDiffuse": albedo, "Accumulated": noisy4}
+            state, out = bmfr.bmfr_pass(state, channels, cam, cfg)
+        outs[pack] = np.asarray(out)
+    # bf16 mantissa is 8 bits; accumulated drift stays O(2^-7) absolute here
+    np.testing.assert_allclose(outs["bf16"], outs["f32"], atol=2e-2)
+    assert np.mean(np.abs(outs["bf16"] - outs["f32"])) < 3e-3
