@@ -61,12 +61,25 @@ def run(tag, bmfr_cfg):
 
 
 def main():
+    import sys
+
     from fyp_bidirectionalpathtracer_tpu.utils.config import BMFRConfig
 
     full = dict(enabled=True, preprocess=True, regression=True,
                 postprocess=True, half_screen_debug=False)
     prepost = dict(enabled=True, preprocess=True, regression=False,
                    postprocess=True, half_screen_debug=False)
+    half = dict(enabled=True, preprocess=True, regression=True,
+                postprocess=True, half_screen_debug=True)
+    if "--solver" in sys.argv:
+        # round-4 solver sweep: bf16 history fetch fixed, QR vs normal-eq
+        run("full_bf16_qr", BMFRConfig(**full, history_pack="bf16",
+                                       regression_solver="qr"))
+        run("full_bf16_normal", BMFRConfig(**full, history_pack="bf16",
+                                           regression_solver="normal"))
+        run("half_bf16_normal", BMFRConfig(**half, history_pack="bf16",
+                                           regression_solver="normal"))
+        return
     run("full_f32", BMFRConfig(**full, history_pack="f32"))
     run("full_bf16", BMFRConfig(**full, history_pack="bf16"))
     run("prepost_f32", BMFRConfig(**prepost, history_pack="f32"))

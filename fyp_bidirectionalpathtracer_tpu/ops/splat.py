@@ -159,7 +159,7 @@ MODES = {
 
 
 def scatter_add_rgba(mode: str, lin, rgb, alpha, n_targets: int,
-                     alpha_is_count: bool = False):
+                     alpha_is_count: bool = False, segments: int = 1):
     """Dispatch by mode; 'auto' on TPU = 'tiled_rgb8e' when alpha is a count
     (the estimator-2 splat: ONE i32 sort payload, bf16-exact decode — full
     pipeline 21.9 vs 27.0 ms/frame for plain 'tiled' on Cornell 720p d=3,
@@ -185,6 +185,7 @@ def scatter_add_rgba(mode: str, lin, rgb, alpha, n_targets: int,
             pack=pack,
             mxu_bf16=mode in ("tiled_bf16w", "tiled_rgb8e"),
             sort_only=mode == "tiled_sortonly",
+            segments=segments,
         )
     if mode == "packed":
         return scatter_add_rgba_packed(lin, rgb, alpha, n_targets,

@@ -42,10 +42,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(blk0_ref, nblk_ref, keys_ref, vals_ref, out_ref,
-            kbuf, vbuf, sems, *, mxu_bf16=False):
+            kbuf, vbuf, sems, *, mxu_bf16=False, segments=1):
     t = pl.program_id(0)
-    b0 = blk0_ref[t]
-    nb = nblk_ref[t]
     base = t * TILE
     out_ref[:] = jnp.zeros((_ROWS, TILE), jnp.float32)
 
@@ -60,45 +58,54 @@ def _kernel(blk0_ref, nblk_ref, keys_ref, vals_ref, out_ref,
             ),
         )
 
-    @pl.when(nb > 0)
-    def _():
-        for c in copies(0, b0):
-            c.start()
+    # per-pixel accumulation order stays the reference's depth order: the
+    # segments (one per light-tracing depth) run in depth order, and blocks
+    # within a segment in sorted (stable = source) order.
+    for s in range(segments):
+        b0 = blk0_ref[t, s]
+        nb = nblk_ref[t, s]
 
-        def body(i, _):
-            slot = jax.lax.rem(i, 2)
+        @pl.when(nb > 0)
+        def _(b0=b0, nb=nb):
+            for c in copies(0, b0):
+                c.start()
 
-            @pl.when(i + 1 < nb)
-            def _():
-                for c in copies(1 - slot, b0 + i + 1):
-                    c.start()
+            def body(i, _):
+                slot = jax.lax.rem(i, 2)
 
-            for c in copies(slot, b0 + i):
-                c.wait()
-            keys = kbuf[slot]                      # [1, K]
-            cols = base + jax.lax.broadcasted_iota(jnp.int32, (K, TILE), 1)
-            if mxu_bf16:
-                # inputs already bf16-quantized (pack_bf16) and the one-hot
-                # is exactly 0/1, so bf16 MXU products are EXACT and the f32
-                # accumulation is unchanged — bit-identical to the f32 dot
-                # on the same quantized inputs, at bf16 MXU throughput.
-                onehot = (keys.reshape(K, 1) == cols).astype(jnp.bfloat16)
-                out_ref[:] += jax.lax.dot_general(
-                    vbuf[slot], onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                onehot = (keys.reshape(K, 1) == cols).astype(jnp.float32)
-                out_ref[:] += jax.lax.dot_general(
-                    vbuf[slot], onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            return 0
+                @pl.when(i + 1 < nb)
+                def _():
+                    for c in copies(1 - slot, b0 + i + 1):
+                        c.start()
 
-        jax.lax.fori_loop(0, nb, body, 0)
+                for c in copies(slot, b0 + i):
+                    c.wait()
+                keys = kbuf[slot]                      # [1, K]
+                cols = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (K, TILE), 1)
+                if mxu_bf16:
+                    # inputs already bf16-quantized (pack_bf16) and the
+                    # one-hot is exactly 0/1, so bf16 MXU products are EXACT
+                    # and the f32 accumulation is unchanged — bit-identical
+                    # to the f32 dot on the same quantized inputs, at bf16
+                    # MXU throughput.
+                    onehot = (keys.reshape(K, 1) == cols).astype(jnp.bfloat16)
+                    out_ref[:] += jax.lax.dot_general(
+                        vbuf[slot], onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    onehot = (keys.reshape(K, 1) == cols).astype(jnp.float32)
+                    out_ref[:] += jax.lax.dot_general(
+                        vbuf[slot], onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, nb, body, 0)
 
 
 def _exp2i(e):
@@ -150,14 +157,15 @@ def _unpack2bf16(p):
 
 @functools.partial(
     jax.jit, static_argnames=("n_targets", "alpha_is_count", "interpret",
-                              "pack", "mxu_bf16", "sort_only")
+                              "pack", "mxu_bf16", "sort_only", "segments")
 )
 def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
                            alpha_is_count: bool = False,
                            interpret: bool = False,
                            pack: str = "f32",
                            mxu_bf16: bool = False,
-                           sort_only: bool = False):
+                           sort_only: bool = False,
+                           segments: int = 1):
     """Drop-in for ops.splat.scatter_add_rgba_*: lin [U] i32 targets
     (<0 or >= n_targets dropped), rgb [U,3], alpha [U] -> [n_targets, 4].
 
@@ -173,69 +181,85 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
     The reference's splat is a racy non-atomic f32 RMW
     (BDPTMain.rt.hlsl:199) that can drop whole updates under contention, so
     sub-MC-noise input quantization is well inside its own reproducibility
-    envelope."""
+    envelope.
+
+    `segments` (static, dividing U) sorts S independent update runs in ONE
+    batched lax.sort instead of a global sort: the TPU sort network is
+    O(n log^2 n), so d_max per-depth segment sorts of U/S elements cost
+    ~60% of one U-element sort, and the tile kernel walks each segment's
+    covering blocks per tile in depth order — per-pixel accumulation order
+    is the reference's either way (depth-major, stable within depth)."""
     u = lin.shape[0]
     n_tiles = _round_up(max(n_targets, 1), TILE) // TILE
     sent = jnp.int32(n_tiles * TILE)
     keys = jnp.where(lin < 0, sent, jnp.minimum(lin, sent))
 
+    s_count = segments if (segments > 1 and u % segments == 0) else 1
+    us = u // s_count
+    k2 = keys.reshape(s_count, us)
+    r2 = rgb[:, 0].reshape(s_count, us)
+    g2 = rgb[:, 1].reshape(s_count, us)
+    b2 = rgb[:, 2].reshape(s_count, us)
+
     if pack == "rgb8e":
         if not alpha_is_count:
             raise ValueError("pack='rgb8e' requires alpha_is_count")
-        ls, p8 = jax.lax.sort(
-            [keys, _pack_rgb8e(rgb[:, 0], rgb[:, 1], rgb[:, 2])], num_keys=1
-        )
+        ls, p8 = jax.lax.sort([k2, _pack_rgb8e(r2, g2, b2)], num_keys=1)
         r, g, b = _unpack_rgb8e(p8)
         a = jnp.where(ls < sent, 1.0, 0.0)
     elif pack == "bf16" and alpha_is_count:
         ls, rg, b = jax.lax.sort(
-            [keys, _pack2bf16(rgb[:, 0], rgb[:, 1]), rgb[:, 2]], num_keys=1
+            [k2, _pack2bf16(r2, g2), b2], num_keys=1
         )
         r, g = _unpack2bf16(rg)
         a = jnp.where(ls < sent, 1.0, 0.0)
     elif pack == "bf16":
         ls, rg, ba = jax.lax.sort(
-            [keys, _pack2bf16(rgb[:, 0], rgb[:, 1]),
-             _pack2bf16(rgb[:, 2], alpha)], num_keys=1
+            [k2, _pack2bf16(r2, g2),
+             _pack2bf16(b2, alpha.reshape(s_count, us))], num_keys=1
         )
         r, g = _unpack2bf16(rg)
         b, a = _unpack2bf16(ba)
     elif alpha_is_count:
-        ls, r, g, b = jax.lax.sort(
-            [keys, rgb[:, 0], rgb[:, 1], rgb[:, 2]], num_keys=1
-        )
+        ls, r, g, b = jax.lax.sort([k2, r2, g2, b2], num_keys=1)
         a = jnp.where(ls < sent, 1.0, 0.0)
     else:
         ls, r, g, b, a = jax.lax.sort(
-            [keys, rgb[:, 0], rgb[:, 1], rgb[:, 2], alpha], num_keys=1
+            [k2, r2, g2, b2, alpha.reshape(s_count, us)], num_keys=1
         )
 
     if sort_only:
         # timing attribution only (splat_mode='tiled_sortonly'): keep the
         # sort live via a data-dependent always-zero scalar, skip the kernel
-        z = jnp.minimum(jnp.abs(r[0] + g[0] + b[0] + a[0])
-                        + ls[0].astype(jnp.float32) ** 2, 0.0)
+        z = jnp.minimum(jnp.abs(r[0, 0] + g[0, 0] + b[0, 0] + a[0, 0])
+                        + ls[0, 0].astype(jnp.float32) ** 2, 0.0)
         return jnp.zeros((n_targets, 4), jnp.float32) + z
 
-    u_pad = _round_up(max(u, K), K)
-    pad = u_pad - u
+    us_pad = _round_up(max(us, K), K)
+    pad = us_pad - us
     if pad:
-        ls = jnp.concatenate([ls, jnp.full((pad,), sent, ls.dtype)])
-        z = jnp.zeros((pad,), jnp.float32)
-        r, g, b, a = (jnp.concatenate([v, z]) for v in (r, g, b, a))
+        ls = jnp.concatenate(
+            [ls, jnp.full((s_count, pad), sent, ls.dtype)], axis=1)
+        z = jnp.zeros((s_count, pad), jnp.float32)
+        r, g, b, a = (jnp.concatenate([v, z], axis=1) for v in (r, g, b, a))
     vdt = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    flat = lambda v: v.reshape(s_count * us_pad)  # noqa: E731
     vals = jnp.concatenate(
-        [jnp.stack([r, g, b, a]), jnp.zeros((_ROWS - 4, u_pad), jnp.float32)]
+        [jnp.stack([flat(r), flat(g), flat(b), flat(a)]),
+         jnp.zeros((_ROWS - 4, s_count * us_pad), jnp.float32)]
     ).astype(vdt)
 
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
-    off = jnp.searchsorted(ls, bounds, side="left").astype(jnp.int32)
-    lo, hi = off[:-1], off[1:]
-    blk0 = lo // K
-    nblk = jnp.where(hi > lo, (hi - 1) // K - blk0 + 1, 0)
+    off = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left")
+    )(ls).astype(jnp.int32)                       # [S, n_tiles+1]
+    lo, hi = off[:, :-1], off[:, 1:]
+    seg0 = (jnp.arange(s_count, dtype=jnp.int32) * (us_pad // K))[:, None]
+    blk0 = (seg0 + lo // K).T                     # [n_tiles, S]
+    nblk = jnp.where(hi > lo, (hi - 1) // K - lo // K + 1, 0).T
 
     out = pl.pallas_call(
-        functools.partial(_kernel, mxu_bf16=mxu_bf16),
+        functools.partial(_kernel, mxu_bf16=mxu_bf16, segments=s_count),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
@@ -254,6 +278,6 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
         ),
         out_shape=jax.ShapeDtypeStruct((_ROWS, n_tiles * TILE), jnp.float32),
         interpret=interpret,
-    )(blk0, nblk, ls.reshape(1, u_pad), vals)
+    )(blk0, nblk, ls.reshape(1, s_count * us_pad), vals)
 
     return out[:4, :n_targets].T

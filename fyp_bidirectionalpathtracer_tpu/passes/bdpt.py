@@ -570,7 +570,7 @@ def bdpt_pass(
         a_all = jnp.concatenate(e2_adds[3])
         splat_full = splat_mod.scatter_add_rgba(
             cfg.splat_mode, lin_all, rgb_all, a_all, g_height * width,
-            alpha_is_count=True,
+            alpha_is_count=True, segments=len(e2_lin),
         ).reshape((g_height, width, 4))
     else:
         splat_full = jnp.stack(splat_ch, -1).reshape((g_height, width, 4))

@@ -361,10 +361,16 @@ def _fit_window(win, n_blocks_y: int, n_blocks_x: int, frame_number,
     with the window's spatial shape (regressionCP.hlsl `fit` body)."""
     feats, alb = _features_from_window(win, n_blocks_y, n_blocks_x)
     x = _normalize_features(feats)
+    solver = cfg.regression_solver
+    if solver == "auto":
+        solver = "normal" if jax.default_backend() == "tpu" else "qr"
     if cfg.remove_ld_features:
-        wts = _householder_qr_skip_ld(x)
-    else:
+        wts = (_householder_qr_skip_ld(x) if solver == "qr"
+               else _normal_eq_skip_ld(x))
+    elif solver == "qr":
         wts = _householder_qr_noise(x, frame_number, cfg.noise_amount)
+    else:
+        wts = _normal_eq_noise(x, frame_number, cfg.noise_amount)
     fitted = jnp.einsum(
         "bpf,bfc->bpc", x[..., :FEATURES], wts,
         precision=jax.lax.Precision.HIGHEST,
@@ -514,6 +520,115 @@ def _householder_qr_skip_ld(a):
         coeff = jnp.where(row_mask, rmat[:, :, i], 0.0)
         wrows = wrows - coeff[:, :, None] * wi[:, None, :]
         limit = new_limit
+    return weights
+
+
+def _qr_noise_pattern(frame_number, noise_amount):
+    """The add_random noise image (regressionCP.hlsl:89-98), identical
+    across blocks, applied to feature columns 1..9."""
+    rows = jnp.arange(BLOCK_PIXELS)
+    pid = rows[:, None]
+    fid = jnp.arange(BUFFERS)[None, :]
+    noise_idx = pid + fid * BLOCK_PIXELS + frame_number * BUFFERS * BLOCK_PIXELS
+    noise = noise_amount * 2.0 * (_hash_random(noise_idx) - 0.5)
+    return jnp.where((fid >= 1) & (fid < FEATURES), noise, 0.0)
+
+
+def _normal_eq_factor(a, skip_ld: bool):
+    """Cholesky factor of the Gram matrix with the reference's per-column
+    skip rule — the normal-equations form of the Householder QR
+    (BMFRConfig.regression_solver='normal').
+
+    In exact arithmetic the pivot value sqrt(G[c,c] - sum_k R[k,c]^2) IS
+    the QR's reduced column norm `vec_len` (the norm of column c's residual
+    against the span of the accepted previous columns), so the accept
+    threshold (> 0.01, regressionCP.hlsl:255) and the resulting R — with
+    the transformed color columns riding along as rmat[:, :, 10:13] = Q^T y
+    rows — match the QR transliteration; the only differences are f32
+    rounding.  One MXU batched matmul reads `a` once instead of ten
+    reflection read-modify-write passes.
+
+    Returns (rmat [B, 10, 13], limit [B]) like the QR builds."""
+    b = a.shape[0]
+    g = jnp.einsum("bpi,bpj->bij", a, a,
+                   precision=jax.lax.Precision.HIGHEST)   # [B, 13, 13]
+    rmat = jnp.zeros((b, FEATURES, BUFFERS), jnp.float32)
+    limit = jnp.zeros((b,), jnp.int32)
+    ridx = jnp.arange(FEATURES)
+    jidx = jnp.arange(BUFFERS)
+    accepts = []
+    for col in range(FEATURES):
+        cross = jnp.einsum("bk,bkj->bj", rmat[:, :, col], rmat,
+                           precision=jax.lax.Precision.HIGHEST)  # [B, 13]
+        d2 = g[:, col, col] - cross[:, col]
+        vec_len = jnp.sqrt(jnp.maximum(d2, 0.0))
+        if skip_ld:
+            accept = vec_len > 0.01
+        else:
+            accept = jnp.ones((b,), bool)
+        accepts.append(accept)
+        row = (g[:, col, :] - cross) / jnp.maximum(vec_len, 1e-30)[:, None]
+        row = jnp.where((jidx >= col)[None, :] & accept[:, None], row, 0.0)
+        onehot = (ridx[None, :] == limit[:, None]).astype(jnp.float32)
+        rmat = rmat + onehot[:, :, None] * row[:, None, :]
+        limit = limit + accept.astype(jnp.int32)
+    # a rejected column's R entries are ZERO in the QR (its r_col is zeroed
+    # on reject, regressionCP.hlsl:255-263); the factor wrote its
+    # projections onto earlier pivots while it was still a candidate, so
+    # blank rejected columns wholesale — the back-substitution keys its
+    # accept decisions off diag != 0.
+    col_ok = jnp.concatenate(
+        [jnp.stack(accepts, -1), jnp.ones((b, BUFFERS - FEATURES), bool)],
+        axis=-1,
+    )
+    rmat = jnp.where(col_ok[:, None, :], rmat, 0.0)
+    return rmat, limit
+
+
+def _normal_eq_skip_ld(a):
+    """IGNORE_LD_fEATURES weights via the normal-equations factor; the
+    back-substitution is the QR version's, verbatim semantics."""
+    rmat, limit = _normal_eq_factor(a, skip_ld=True)
+    qty = rmat[:, :, FEATURES:BUFFERS]
+    b = a.shape[0]
+    weights = jnp.zeros((b, FEATURES, 3), jnp.float32)
+    wrows = qty
+    limit = limit - 1
+    ridx = jnp.arange(FEATURES)
+    for i in range(FEATURES - 1, -1, -1):
+        onehot = (ridx[None, :] == limit[:, None])[..., None]
+        piv_r = jnp.sum(jnp.where(onehot, rmat, 0.0), axis=1)
+        diag = piv_r[:, i]
+        accepted = (diag != 0.0) & (limit >= 0)
+        piv_rhs = jnp.sum(jnp.where(onehot, wrows, 0.0), axis=1)
+        wi = jnp.where(accepted[:, None],
+                       piv_rhs / jnp.where(accepted[:, None], diag[:, None],
+                                           1.0), 0.0)
+        weights = weights.at[:, i, :].set(wi)
+        new_limit = limit - accepted.astype(jnp.int32)
+        row_mask = (ridx[None, :] <= new_limit[:, None]) & accepted[:, None]
+        coeff = jnp.where(row_mask, rmat[:, :, i], 0.0)
+        wrows = wrows - coeff[:, :, None] * wi[:, None, :]
+        limit = new_limit
+    return weights
+
+
+def _normal_eq_noise(a, frame_number, noise_amount):
+    """add_random-variant weights via the normal-equations factor (noise
+    applied to `a` first, exactly like _householder_qr_noise)."""
+    a = a + _qr_noise_pattern(frame_number, noise_amount)[None, :, :]
+    rmat, _ = _normal_eq_factor(a, skip_ld=False)
+    qty = rmat[:, :, FEATURES:BUFFERS]
+    b = a.shape[0]
+    weights = jnp.zeros((b, FEATURES, 3), jnp.float32)
+    wrows = qty
+    for i in range(FEATURES - 1, -1, -1):
+        diag = rmat[:, i, i]
+        wi = wrows[:, i, :] / diag[:, None]
+        weights = weights.at[:, i, :].set(wi)
+        if i > 0:
+            above = rmat[:, :i, i]
+            wrows = wrows.at[:, :i, :].add(-above[:, :, None] * wi[:, None, :])
     return weights
 
 

@@ -150,6 +150,21 @@ class BMFRConfig:
     normal_limit_sq: float = 1.0
     blend_alpha: float = 0.2
     second_blend_alpha: float = 0.1
+    # regression linear solver:
+    # 'qr'     — the reference's Householder QR transliteration
+    #            (regressionCP.hlsl:207-466), including its per-column
+    #            rank-deficiency skip / add-noise variants;
+    # 'normal' — mathematically identical normal-equations form: one MXU
+    #            batched Gram matmul [B,13,13] + a 10-step Cholesky whose
+    #            pivot value sqrt(G[c,c] - sum L^2) EQUALS the QR's reduced
+    #            column norm (same >0.01 accept rule, same R, same
+    #            back-substitution) — ~3 passes over the [B,1024,13]
+    #            feature tensor instead of ~20 (the QR's per-reflection
+    #            read-modify-writes).  Differences are f32 rounding only
+    #            (normal equations square the conditioning, but features
+    #            are min/max-normalized to [0,1] first).
+    # 'auto'   — 'normal' on TPU, 'qr' elsewhere (tests, goldens).
+    regression_solver: str = "auto"
     # history fetch packing for the reprojection taps (pre+postprocess):
     # 'f32'  — exact: [pos3|norm3|noisy4] (40 packed cols, 3 gathers) in
     #          preprocess + [filtered3] (12 cols, 1 gather) in postprocess;

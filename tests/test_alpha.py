@@ -81,6 +81,7 @@ def test_shaded_tracer_alpha(panel):
     assert (np.asarray(sd.material_id)[~through] == 1).all()
 
 
+@pytest.mark.slow
 def test_render_frame_with_alpha_scene(panel):
     """End-to-end frame on the alpha scene (wavefront path; megakernel must
     decline it)."""

@@ -213,3 +213,35 @@ def test_history_pack_bf16_matches_f32():
     # bf16 mantissa is 8 bits; accumulated drift stays O(2^-7) absolute here
     np.testing.assert_allclose(outs["bf16"], outs["f32"], atol=2e-2)
     assert np.mean(np.abs(outs["bf16"] - outs["f32"])) < 3e-3
+
+
+def test_normal_eq_solver_matches_qr():
+    """regression_solver='normal' (Gram + skip-Cholesky) must reproduce the
+    Householder QR weights to f32 tolerance, including rank-deficient
+    blocks where the 0.01 pivot skip engages, for both the IGNORE_LD and
+    add-noise variants (utils/config.BMFRConfig.regression_solver)."""
+    rs = np.random.RandomState(11)
+    b = 8
+    a = rs.rand(b, bmfr.BLOCK_PIXELS, bmfr.BUFFERS).astype(np.float32)
+    a[:, :, 0] = 1.0
+    # make some blocks rank-deficient: col 5 duplicates col 4, col 8 constant
+    a[:4, :, 5] = a[:4, :, 4]
+    a[2:6, :, 8] = 0.25
+    x = jnp.asarray(a)
+
+    w_qr = np.asarray(bmfr._householder_qr_skip_ld(x))
+    w_ne = np.asarray(bmfr._normal_eq_skip_ld(x))
+    # the solved FIT is the comparable quantity; weights of near-dependent
+    # columns are individually ill-conditioned, so compare fitted colors
+    f = np.asarray(x)[..., :bmfr.FEATURES]
+    fit_qr = np.einsum("bpf,bfc->bpc", f, w_qr)
+    fit_ne = np.einsum("bpf,bfc->bpc", f, w_ne)
+    np.testing.assert_allclose(fit_ne, fit_qr, atol=5e-3)
+
+    w_qr_n = np.asarray(bmfr._householder_qr_noise(x, jnp.int32(7), 0.01))
+    w_ne_n = np.asarray(bmfr._normal_eq_noise(x, jnp.int32(7), 0.01))
+    fit_qr_n = np.einsum("bpf,bfc->bpc", f, w_qr_n)
+    fit_ne_n = np.einsum("bpf,bfc->bpc", f, w_ne_n)
+    np.testing.assert_allclose(fit_ne_n, fit_qr_n, atol=5e-3)
+    # accepted-pivot pattern must match exactly (zero rows for skips)
+    np.testing.assert_array_equal(w_qr == 0.0, w_ne == 0.0)

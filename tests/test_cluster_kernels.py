@@ -128,6 +128,7 @@ def test_cluster_hbm_matches_vmem(spheres):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sorted_wavefront_matches_unsorted(spheres):
     """coherent=False Morton-sorts rays through the cluster kernels and
     inverse-permutes the results — must be a pure permutation identity."""
@@ -218,6 +219,7 @@ def test_fm_variant_matches_row_major(spheres):
     )
 
 
+@pytest.mark.slow
 def test_proxy_seed_matches_unseeded(spheres):
     """Proxy-t seeding (pack_proxy_tris) must not change closest-hit
     results: the proxy block's winner is a real (id, t) answer and the
@@ -278,6 +280,20 @@ def test_sorted_tracer_matches_unsorted(spheres):
         a, b = getattr(sd0, name), getattr(sd2, name)
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, err_msg="lean " + name)
+
+    # lean_bf16: the 6-column bf16x2-packed inverse sort must agree within
+    # the bf16 envelope (t/hit stay exact f32; normals renormalized)
+    srt16 = make_shaded_tracer(spheres, force_cluster=True,
+                               sort_divergent=True, lean_bf16=True)
+    h3, sd3 = srt16(o, d, 1e-3, o, coherent=False, lean=True)
+    np.testing.assert_array_equal(np.asarray(h0.hit), np.asarray(h3.hit))
+    np.testing.assert_allclose(np.asarray(h0.t), np.asarray(h3.t), atol=1e-6)
+    for name, tol in (("n", 6e-3), ("diffuse", 6e-3), ("specular", 6e-3),
+                      ("roughness", 1e-2), ("pos_w", 1e-5)):
+        a, b = getattr(sd0, name), getattr(sd3, name)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=tol, rtol=6e-3,
+            err_msg="lean_bf16 " + name)
 
 
 def test_const_origin_sorted_anyhit_matches(spheres):

@@ -80,6 +80,7 @@ def test_megakernel_matches_wavefront_default(cornell):
     ids=["e1-only", "no-e3", "no-e2", "depth2", "lambertian",
          "faithful-rng", "no-quirks"],
 )
+@pytest.mark.slow
 def test_megakernel_matches_wavefront_variants(cornell, bcfg):
     _, img_mk, _, img = _run_both(cornell, bcfg)
     d = np.abs(img_mk - img).max(-1)
@@ -88,6 +89,7 @@ def test_megakernel_matches_wavefront_variants(cornell, bcfg):
     assert abs(img_mk[..., :3].mean() - img[..., :3].mean()) < 5e-3
 
 
+@pytest.mark.slow
 def test_megakernel_thin_lens_matches_wavefront(cornell):
     """Thin-lens primary rays (lens origin from the G-buffer RNG stream,
     direction through the focal point) must match the wavefront path."""

@@ -75,6 +75,7 @@ def test_scene_qualifies(room):
     assert not supports_megakernel(room, RenderConfig(width=W, height=H))
 
 
+@pytest.mark.slow
 def test_textured_megakernel_matches_wavefront(room):
     ch_mk, img_mk, ch, img = _run_both(room, BDPTConfig(max_depth=3))
     # G-buffer channels carry texel values (ratio/emissive fix-up)
@@ -102,6 +103,7 @@ def test_textured_megakernel_matches_wavefront(room):
     ],
     ids=["e1-only", "e2-only", "e3-only", "no-quirks"],
 )
+@pytest.mark.slow
 def test_textured_megakernel_estimators(room, bcfg):
     _, img_mk, _, img = _run_both(room, bcfg)
     d = np.abs(img_mk - img).max(-1)

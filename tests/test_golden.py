@@ -47,6 +47,7 @@ def test_faithful_rng_mode_renders(baked):
     golden_compare("cornell_faithful_rng_4f_64", r.display())
 
 
+@pytest.mark.slow
 def test_convergence_toward_high_spp(baked):
     """More accumulated frames -> closer to a high-spp self-reference."""
     cfg = RenderConfig(width=SIZE, height=SIZE)

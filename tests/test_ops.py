@@ -204,3 +204,36 @@ def test_splat_tiled_bf16_tolerance():
     np.add.at(env, np.asarray(lin)[kept], mx[kept] * (2.0 ** -8))
     assert np.all(np.abs(d[:, :3] - w8[:, :3]) <= env[:, None] + 1e-6)
     np.testing.assert_array_equal(d[:, 3], w8[:, 3])
+
+
+def test_splat_tiled_segments_agree():
+    """segments>1 (per-depth batched sorts, ops/splat_tile.py) must equal
+    the single-segment tiled reduction exactly for f32 pack and within the
+    rgb8e envelope for the packed payload, across tile boundaries."""
+    from fyp_bidirectionalpathtracer_tpu.ops.splat import (
+        scatter_add_rgba_direct,
+    )
+    from fyp_bidirectionalpathtracer_tpu.ops.splat_tile import (
+        scatter_add_rgba_tiled,
+    )
+
+    rs = np.random.RandomState(3)
+    n = 3000          # spans 3 tiles of 1024
+    u = 3 * 2000      # 3 segments
+    # non-negative with some >= n dropped (production sentinel semantics:
+    # direct's .at[] would WRAP negative ids Python-style, tiled drops them)
+    lin = jnp.asarray(rs.randint(0, n + 200, u), jnp.int32)
+    rgb = jnp.asarray(np.abs(rs.normal(size=(u, 3))), jnp.float32)
+    alpha = jnp.ones((u,), jnp.float32)
+    d = np.asarray(scatter_add_rgba_direct(lin, rgb, alpha, n))
+    one = np.asarray(scatter_add_rgba_tiled(
+        lin, rgb, alpha, n, alpha_is_count=True, interpret=True, segments=1))
+    seg = np.asarray(scatter_add_rgba_tiled(
+        lin, rgb, alpha, n, alpha_is_count=True, interpret=True, segments=3))
+    np.testing.assert_allclose(d, one, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(one, seg, rtol=1e-5, atol=1e-5)
+    r8 = np.asarray(scatter_add_rgba_tiled(
+        lin, rgb, alpha, n, alpha_is_count=True, interpret=True, segments=3,
+        pack="rgb8e", mxu_bf16=True))
+    np.testing.assert_allclose(d[:, :3], r8[:, :3], rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(d[:, 3], r8[:, 3])

@@ -65,6 +65,7 @@ def test_depth1_direct_matches_analytic_oracle(baked):
     assert diff.max() < 1e-3, float(diff.max())
 
 
+@pytest.mark.slow
 def test_depth2_indirect_matches_oracle_statistically(baked):
     """Depth-2 adds the cosine-sampled one-bounce term (weight 1/3); the
     accumulated pipeline mean must match the oracle's independent Monte
@@ -125,6 +126,7 @@ def test_ggx_white_furnace():
         assert refl >= 0.35, (rough, refl)   # and isn't black
 
 
+@pytest.mark.slow
 def test_est2_light_tracing_matches_oracle_statistically(baked):
     """Estimator 2 (light-tracing splats) against the independent numpy
     light tracer: per-8x8-block means must agree.  Verifies the whole est-2
@@ -156,6 +158,7 @@ def test_est2_light_tracing_matches_oracle_statistically(baked):
     assert err.mean() < 0.015, f"mean block err {err.mean():.4f}"
 
 
+@pytest.mark.slow
 def test_est3_connections_match_oracle_statistically(baked):
     """Estimator 3 (s,t connections) against the independent numpy
     connection tracer: per-8x8-block means must agree.  Verifies the est-3

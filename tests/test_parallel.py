@@ -30,6 +30,7 @@ def test_shard_image_tree(n_dev):
     assert len(placed["scalar"].sharding.device_set) == n_dev  # replicated
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single_device(n_dev):
     """The row-sharded render step must produce the SAME image as the
     unsharded one (splat psum included)."""
@@ -76,12 +77,14 @@ def test_graft_entry_single():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip(n_dev):
     import __graft_entry__ as g
 
     g.dryrun_multichip(n_dev)
 
 
+@pytest.mark.slow
 def test_sharded_megakernel_matches_single(n_dev):
     """shard_map megakernel step (interpret mode per shard) must reproduce
     the single-chip megakernel frame: global-pixel RNG seeds + psum splat."""
@@ -203,6 +206,7 @@ def _bmfr_frame_inputs(h, w, frame, shift_rows):
 
 
 @pytest.mark.parametrize("rows_per_dev", [64, 8])
+@pytest.mark.slow
 def test_bmfr_sharded_matches_single(n_dev, rows_per_dev):
     """Sharded BMFR (preprocess + regression + postprocess with row-halo
     exchanges) must match the single-chip pass over multiple frames with
@@ -241,6 +245,7 @@ def test_bmfr_sharded_matches_single(n_dev, rows_per_dev):
     assert int(state_sh.frame_number) == 3
 
 
+@pytest.mark.slow
 def test_sharded_wavefront_matches_single(n_dev):
     """shard_map wavefront step (Pallas-capable path) must reproduce the
     single-chip wavefront frame: global-pixel RNG seeds, global estimator-2
@@ -286,6 +291,7 @@ def test_sharded_wavefront_matches_single(n_dev):
     assert float(accum_sh.count) == float(accum_ref.count)
 
 
+@pytest.mark.slow
 def test_sharded_wavefront_bmfr_matches_single(n_dev):
     """End-to-end: the shard_map wavefront step WITH the BMFR denoiser
     enabled (sharded halo mode) matches the single-chip pipeline across two

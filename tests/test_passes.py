@@ -71,6 +71,7 @@ def test_render_frame_finite_and_lit(renderer):
     assert img.shape == (SIZE, SIZE, 4)
 
 
+@pytest.mark.slow
 def test_progressive_accumulation_reduces_variance(baked):
     r = Renderer(baked, RenderConfig(width=SIZE, height=SIZE))
     f1 = np.asarray(r.render_frame())[..., :3]
