@@ -60,10 +60,12 @@ def _kernel(blk0_ref, nblk_ref, keys_ref, vals_ref, out_ref,
 
     # per-pixel accumulation order stays the reference's depth order: the
     # segments (one per light-tracing depth) run in depth order, and blocks
-    # within a segment in sorted (stable = source) order.
+    # within a segment in sorted (stable = source) order.  blk0/nblk are
+    # FLAT [n_tiles * segments] (a 2-D scalar-prefetch array would be
+    # lane-padded to 128 cols in SMEM — 1 MB at 1080p, over the 1 MB cap).
     for s in range(segments):
-        b0 = blk0_ref[t, s]
-        nb = nblk_ref[t, s]
+        b0 = blk0_ref[t * segments + s]
+        nb = nblk_ref[t * segments + s]
 
         @pl.when(nb > 0)
         def _(b0=b0, nb=nb):
@@ -255,8 +257,8 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
     )(ls).astype(jnp.int32)                       # [S, n_tiles+1]
     lo, hi = off[:, :-1], off[:, 1:]
     seg0 = (jnp.arange(s_count, dtype=jnp.int32) * (us_pad // K))[:, None]
-    blk0 = (seg0 + lo // K).T                     # [n_tiles, S]
-    nblk = jnp.where(hi > lo, (hi - 1) // K - lo // K + 1, 0).T
+    blk0 = (seg0 + lo // K).T.reshape(-1)         # flat [n_tiles * S]
+    nblk = jnp.where(hi > lo, (hi - 1) // K - lo // K + 1, 0).T.reshape(-1)
 
     out = pl.pallas_call(
         functools.partial(_kernel, mxu_bf16=mxu_bf16, segments=s_count),
