@@ -409,11 +409,33 @@ def bdpt_pass(
     # one direction-major sort amortizes over 3x the rays and mixes ray
     # populations into tighter direction cells.  RNG order is untouched
     # (the est-1 light picks still draw first, in reference order).
+    # Shadow rays whose contribution is PROVABLY zero without visibility
+    # are pre-masked to empty intervals (t_max = 0 < min_t): rays_to_rows
+    # marks them dead, the cluster tiers drop them from per-cell shortlists
+    # and slab tests (~free), and the result is output-invariant — the
+    # reference fires them all (BDPTMain.rt.hlsl:118-120,191-196) but
+    # multiplies the answer by zero.  est-1: nee_shade is exactly linear in
+    # vis (shadow_mult = where(vis, N, 0), MaterialUtils:160-183), so lanes
+    # whose UNSHADOWED shade is zero (backfacing light, terminated vertex,
+    # background pixel) never need the ray.  est-2: the facing/in-range/
+    # take gates are all vis-independent.  est-3 is NOT maskable: its
+    # saturate-accumulate applies to the running sum whenever the ray
+    # passes, even for zero contributions (alpha/rgb clamping quirk).
     n_e1 = d_max if cfg.enable_path_tracing else 0
     e1_picks = []
+    e1_unshadowed = []
     for i in range(n_e1):
         seed, l, intensity, dist = mat.nee_pick(seed, lights, camera_path[i + 1].pos)
-        e1_picks.append((l, intensity, dist))
+        unsh = mat.nee_shade(
+            jnp.ones(shape, bool), l, intensity,
+            camera_path[i + 1].n, camera_path[i + 1].v, camera_path[i + 1].dif,
+            camera_path[i + 1].spec, camera_path[i + 1].rough,
+            lights.count, cfg.mat_model,
+        )
+        # NaN lanes stay conservative (NaN != 0 is True -> ray traced)
+        matters = valid & jnp.any(unsh != 0.0, axis=-1)
+        e1_picks.append((l, intensity, jnp.where(matters, dist, 0.0)))
+        e1_unshadowed.append(unsh)
 
     e3_pairs = []
     for total_len in range(2, (d_max + 1) if cfg.enable_connections else 0):
@@ -431,10 +453,21 @@ def bdpt_pass(
 
     n_e2 = d_max if cfg.enable_light_tracing else 0
     e2_geom = []
+    e2_pre = []   # (ix, iy, facing, pre_ok) per depth — vis-independent gates
+    camera_n_pre = normalize(cam.camera_w)
+    take_cum_pre = jnp.ones(shape, bool)
     for i in range(n_e2):
         to_cam = cam.pos_w - light_path[i + 1].pos
         dis = jnp.sqrt(jnp.maximum(dot(to_cam, to_cam), 1e-30))
-        e2_geom.append((to_cam / dis[..., None], dis))
+        dir_to_cam = to_cam / dis[..., None]
+        take_cum_pre = take_cum_pre & take[i + 1]
+        facing = dot(camera_n_pre, dir_to_cam) < 0.0
+        ix, iy = project_dir_to_pixel(cam, dir_to_cam, (width, g_height),
+                                      pixel_jitter)
+        in_range = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < g_height)
+        pre_ok = valid & take_cum_pre & facing & in_range
+        e2_geom.append((dir_to_cam, jnp.where(pre_ok, dis, 0.0)))
+        e2_pre.append((ix, iy, facing, pre_ok))
 
     # Three separate direction-sorted batches, one per estimator family: a
     # single merged 9-stack query measured WORSE (811 vs 781 ms/frame on
@@ -497,13 +530,9 @@ def bdpt_pass(
     # picks ran first (same seed sequence), the NEE visibility came from
     # the batched query above.
     for i in range(n_e1):
-        l, intensity, _ = e1_picks[i]
-        direct = mat.nee_shade(
-            vis_b[i], l, intensity,
-            camera_path[i + 1].n, camera_path[i + 1].v, camera_path[i + 1].dif,
-            camera_path[i + 1].spec, camera_path[i + 1].rough,
-            lights.count, cfg.mat_model,
-        )
+        # nee_shade(vis, ...) == where(vis, nee_shade(True, ...), 0) —
+        # reuse the unshadowed value the pre-mask computed
+        direct = jnp.where(vis_b[i][..., None], e1_unshadowed[i], 0.0)
         shade = camera_path[i].color * direct
         shade = mat.clamp_vec(shade / (i + 2), cfg.clamp_upper)
         shade = _nan_guard(shade)
@@ -536,27 +565,22 @@ def bdpt_pass(
     # TPU scatter-add is ~8x slower with a trailing component axis, so each
     # channel scatters into its own flat [H*W] buffer.
     splat_ch = [jnp.zeros(g_height * width, jnp.float32) for _ in range(4)]
-    camera_n = normalize(cam.camera_w)
-    take_cum = jnp.ones(shape, bool)
+    camera_n = camera_n_pre
     e2_lin, e2_adds = [], [[], [], [], []]
     for i in range(n_e2):
-        take_cum = take_cum & take[i + 1]
         last = light_path[i + 1]
-        dir_to_cam, dis = e2_geom[i]
-        facing = dot(camera_n, dir_to_cam) < 0.0
-        active = valid & take_cum & facing & e2_vis[i]
-        ix, iy = project_dir_to_pixel(cam, dir_to_cam, (width, g_height), pixel_jitter)
+        dir_to_cam, dis = e2_geom[i]   # dis pre-masked: 0 on pre-failed lanes
+        ix, iy, facing, pre_ok = e2_pre[i]
         theta1 = saturate(jnp.abs(dot(dir_to_cam, camera_n)))
         theta2 = saturate(jnp.abs(dot(dir_to_cam, last.n)))
-        g = theta1 * theta2 / (dis * dis)
+        g = theta1 * theta2 / (dis * dis)   # inf on pre-failed lanes (masked)
         brdf = mat.eval_brdf(last.v, normalize(cam.pos_w - last.pos), last.n,
                              last.n, last.dif, last.spec, last.rough,
                              last.is_spec, cfg.mat_model)
         shade = light_path[i].color * brdf * g[..., None]
         shade = mat.clamp_vec(shade / (i + 2), cfg.clamp_upper)
         shade = _nan_guard(shade)
-        in_range = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < g_height)
-        ok = active & in_range
+        ok = pre_ok & e2_vis[i]
         e2_lin.append(jnp.where(ok, iy * width + ix, g_height * width).reshape(-1))
         e2_adds[0].append(jnp.where(ok, shade[..., 0], 0.0).reshape(-1))
         e2_adds[1].append(jnp.where(ok, shade[..., 1], 0.0).reshape(-1))
