@@ -365,6 +365,17 @@ def make_intersector(bvh: BVHArrays, tris: TriSoA, brute_threshold: int = 2048,
             n = o.shape[0]
             lo, hi = scene_bounds(tris)
             keys = ray_sort_keys_dirq(o, d, lo, hi)
+            if t_max is not None and jnp.asarray(t_max).ndim != 0:
+                # empty-interval lanes (pre-masked shadow rays, passes/bdpt)
+                # sort to the TAIL: live rays pack densely into cells
+                # instead of diluting them, and all-dead trailing cells get
+                # empty shortlists (kernel programs skip outright)
+                dead = jnp.broadcast_to(
+                    jnp.asarray(t_max, jnp.float32), shape).reshape(-1) <= (
+                        jnp.broadcast_to(
+                            jnp.asarray(t_min, jnp.float32), shape
+                        ).reshape(-1))
+                keys = jnp.where(dead, jnp.int32(0x7FFFFFFF), keys)
             iota = jnp.arange(n, dtype=jnp.int32)
             # scalar t_min / absent t_max are CONSTANT columns — rebuild
             # them after the sort instead of paying sort payload bandwidth

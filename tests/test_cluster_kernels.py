@@ -314,3 +314,19 @@ def test_const_origin_sorted_anyhit_matches(spheres):
                     const_origin=True)
     np.testing.assert_array_equal(np.asarray(h_gen.hit),
                                   np.asarray(h_const.hit))
+
+
+def test_sorted_anyhit_dead_lane_tail_packing(spheres):
+    """Pre-masked (empty-interval) shadow lanes sort to the key tail
+    (accel/traverse.sort_wavefront); occlusion bits must still match the
+    unsorted path exactly, with dead lanes reporting unoccluded."""
+    inter = spheres.intersector()
+    rs = np.random.RandomState(3)
+    n = 640
+    o, d = _rays(n, seed=9)
+    tmax = jnp.asarray(
+        np.where(rs.rand(n) < 0.6, 0.0, 4.0).astype(np.float32))
+    h0 = inter(o, d, 1e-3, t_max=tmax, closest=False)
+    h1 = inter(o, d, 1e-3, t_max=tmax, closest=False, coherent=False)
+    np.testing.assert_array_equal(np.asarray(h0.hit), np.asarray(h1.hit))
+    assert not np.asarray(h1.hit)[np.asarray(tmax) == 0.0].any()
