@@ -22,7 +22,8 @@ import jax.numpy as jnp
 def time_scene(name: str, width: int, height: int, depth: int,
                warmup: int = 3, iters: int = 10,
                sort_bounces: bool | None = None,
-               const_scene: bool = False) -> dict:
+               const_scene: bool = False,
+               bounce_tex_mean: bool = False) -> dict:
     from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
     from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
         BDPT_FRAME_INIT,
@@ -35,6 +36,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
 
     # None = keep the production default (BDPTConfig.sort_bounces)
     overrides = {} if sort_bounces is None else {"sort_bounces": sort_bounces}
+    if bounce_tex_mean:
+        overrides["bounce_tex_mean"] = True
     cfg = RenderConfig(width=width, height=height,
                        bdpt=BDPTConfig(max_depth=depth, **overrides))
     scene = load_scene(name)
@@ -74,7 +77,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
     tris = int(baked.tris.v0.shape[0])
     return {"scene": name, "ms_per_frame": round(dt * 1e3, 2),
             "tris": tris, "resolution": f"{width}x{height}", "depth": depth,
-            "sort_bounces": sort_bounces, "const_scene": const_scene}
+            "sort_bounces": sort_bounces, "const_scene": const_scene,
+            "bounce_tex_mean": bounce_tex_mean}
 
 
 def main():
@@ -85,12 +89,14 @@ def main():
     p.add_argument("--sort-bounces", action=argparse.BooleanOptionalAction,
                    default=None)  # None = production default
     p.add_argument("--const-scene", action="store_true")
+    p.add_argument("--bounce-mean", action="store_true")
     args = p.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     for name in args.scenes or ["textured"]:
         print(json.dumps(time_scene(name, w, h, args.depth,
                                     sort_bounces=args.sort_bounces,
-                                    const_scene=args.const_scene)),
+                                    const_scene=args.const_scene,
+                                    bounce_tex_mean=args.bounce_mean)),
               flush=True)
 
 

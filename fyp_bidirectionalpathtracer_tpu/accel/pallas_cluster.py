@@ -60,6 +60,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def cell_rows() -> int:
+    """Lane-rows (x128 lanes) per kernel program = sort-cell size / 128.
+
+    Smaller cells tighten the per-cell EXACT cluster shortlists on
+    divergent wavefronts — a 1024-ray cell's shortlist is the union over
+    all 1024 rays, so quartering the cell cuts total pair work ~40% on a
+    synthetic pink_room bounce wavefront (visits/cell 46.5 at 8 rows ->
+    27.4 at 2, pair work 43M -> 25M ray-cluster rows; round-4 CPU sweep)
+    at the price of 4x the per-visit scalar predicates and 4x the grid.
+    FYP_CELL_ROWS overrides for experiments."""
+    import os
+
+    v = int(os.environ.get("FYP_CELL_ROWS", "8"))
+    if S % v or v < 1:
+        raise ValueError(f"FYP_CELL_ROWS={v} must divide S={S}")
+    return v
+
+
 def pick_ck(n_tris: int) -> int:
     """VMEM-tier cluster stride: the smallest multiple of 8 (>= 64) that
     keeps the cluster count <= 512.  FYP_CK overrides for experiments.
@@ -172,7 +190,7 @@ def _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref):
         blk = proxy_ref[pl.ds(start, size), :]
         id_tile = jnp.broadcast_to(blk[:, 12:13], (size, LANE))
         in_scene = id_tile >= 0.0
-        for s in range(S):
+        for s in range(tmin.shape[0]):
             best_t = bt_ref[s:s + 1, :]
             valid, t = _pair_test_block(
                 blk,
@@ -289,10 +307,16 @@ def cell_cluster_shortlist(rows, aabbs, n_cells: int,
 
 # ----------------------------------------------------------------- kernels
 def _ray_tiles(r_ref):
-    """Load the 8 ray-field rows as [S, 128] tiles."""
-    ox, oy, oz = r_ref[0], r_ref[1], r_ref[2]
-    dx, dy, dz = r_ref[3], r_ref[4], r_ref[5]
-    tmin, tmax = r_ref[6], r_ref[7]
+    """Load the 8 ray-field rows as [rows, 128] tiles.
+
+    r_ref block is [8, 1, rows, LANE]: the launchers reshape the flat
+    [8, n_cols, LANE] field table to [8, n_cols//rows, rows, LANE] so the
+    block's LAST TWO dims equal the array's — Mosaic requires last-two
+    block dims divisible by (8, 128) or exactly equal, and sub-cell rows
+    (cell_rows() < 8) would otherwise be an illegal (8, rows, 128) block."""
+    ox, oy, oz = r_ref[0, 0], r_ref[1, 0], r_ref[2, 0]
+    dx, dy, dz = r_ref[3, 0], r_ref[4, 0], r_ref[5, 0]
+    tmin, tmax = r_ref[6, 0], r_ref[7, 0]
     inv = lambda d: jnp.where(  # noqa: E731
         jnp.abs(d) > 1e-12, 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1.0),
         jnp.where(d >= 0, 2e12, -2e12),
@@ -406,7 +430,7 @@ def _occl_accumulate(blk, c, ck, n_tris, o, d, tmin, tmax, occ_ref):
     sub = jax.lax.broadcasted_iota(jnp.int32, (blk.shape[0], LANE), 0)
     in_scene = (sub + c * ck) < n_tris
     hits = []
-    for s in range(S):
+    for s in range(tmin.shape[0]):
         valid, _t = _pair_test_block(
             blk,
             o[0][s:s + 1], o[1][s:s + 1], o[2][s:s + 1],
@@ -425,7 +449,7 @@ def _closest_update(blk, c, ck, n_tris, o, d, tmin, cull_backface,
     sub_f = sub.astype(jnp.float32)
     tri_ids = sub + c * ck
     in_scene = tri_ids < n_tris
-    for s in range(S):
+    for s in range(tmin.shape[0]):
         best_t = bt_ref[s:s + 1, :]
         valid, t = _pair_test_block(
             blk,
@@ -449,7 +473,7 @@ def _bary_fetch(blk12, c, ck, bid, fet_ref):
     """Accumulate winner BW rows (one-hot MXU) for one loaded cluster."""
     in_c = (bid >= c * ck) & (bid < (c + 1) * ck)
     sub = jax.lax.broadcasted_iota(jnp.int32, (blk12.shape[0], LANE), 0)
-    for s in range(S):
+    for s in range(bid.shape[0]):
         local = bid[s:s + 1, :] - c * ck
         pick = ((sub == local) & in_c[s:s + 1, :]).astype(jnp.float32)
         fet_ref[s] = fet_ref[s] + jax.lax.dot_general(
@@ -465,7 +489,7 @@ def _cluster_occlusion_kernel(
 ):
     del entry_ref  # any-hit has no best_t to compare entries against
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
-    occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
+    occ_ref[...] = jnp.zeros((tmin.shape[0], LANE), jnp.float32)
 
     def body(g):
         open_ = occ_ref[...] == 0.0
@@ -500,7 +524,7 @@ def _cluster_occlusion_kernel(
         return (g < ng) & jnp.any(open_)
 
     jax.lax.while_loop(keep_going, body, 0)
-    out_ref[...] = occ_ref[...]
+    out_ref[0] = occ_ref[...]
 
 
 def _cluster_occlusion_hbm_kernel(
@@ -519,7 +543,7 @@ def _cluster_occlusion_hbm_kernel(
     live lane is occluded."""
     blks, sems = bufs[:G], bufs[G:]
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
-    occ_ref[...] = jnp.zeros((S, LANE), jnp.float32)
+    occ_ref[...] = jnp.zeros((tmin.shape[0], LANE), jnp.float32)
 
     def body(g):
         open_ = occ_ref[...] == 0.0
@@ -556,7 +580,7 @@ def _cluster_occlusion_hbm_kernel(
         return (g < ng) & jnp.any(open_)
 
     jax.lax.while_loop(keep_going, body, 0)
-    out_ref[...] = occ_ref[...]
+    out_ref[0] = occ_ref[...]
 
 
 def _cluster_closest_hbm_kernel(
@@ -580,7 +604,7 @@ def _cluster_closest_hbm_kernel(
     blks, sems = bufs[:G], bufs[G:]
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
-    bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
+    bid_ref[...] = jnp.full((tmin.shape[0], LANE), -1, jnp.int32)
     if use_proxy:
         _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
@@ -624,7 +648,7 @@ def _cluster_closest_hbm_kernel(
 
     bid = bid_ref[...]
     t_ = bt_ref[...]
-    fet_ref[...] = jnp.zeros((S, 12, LANE), jnp.float32)
+    fet_ref[...] = jnp.zeros((tmin.shape[0], 12, LANE), jnp.float32)
 
     def fetch(g, _):
         in_g = (bid >= g * G * ck) & (bid < (g + 1) * G * ck)
@@ -652,7 +676,7 @@ def _cluster_closest_hbm_kernel(
 
     def attr(k):
         return jnp.concatenate(
-            [fet_ref[s, k:k + 1, :] for s in range(S)], axis=0
+            [fet_ref[s, k:k + 1, :] for s in range(tmin.shape[0])], axis=0
         )
 
     ox, oy, oz = o
@@ -664,10 +688,10 @@ def _cluster_closest_hbm_kernel(
         attr(8) * dx + attr(9) * dy + attr(10) * dz
     )
     hit_f = (bid >= 0).astype(jnp.float32)
-    out_ref[0] = t_
-    out_ref[1] = bid.astype(jnp.float32)
-    out_ref[2] = u_acc * hit_f
-    out_ref[3] = v_acc * hit_f
+    out_ref[0, 0] = t_
+    out_ref[1, 0] = bid.astype(jnp.float32)
+    out_ref[2, 0] = u_acc * hit_f
+    out_ref[3, 0] = v_acc * hit_f
 
 
 def _shortlist_fetch_loop(order_ref, ng, ck, n_clusters, bid, visit):
@@ -768,7 +792,7 @@ def _cluster_shaded_kernel(
         out_ref, bt_ref, bid_ref, fet_ref = rest
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
-    bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
+    bid_ref[...] = jnp.full((tmin.shape[0], LANE), -1, jnp.int32)
     if use_proxy:
         _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
@@ -793,13 +817,13 @@ def _cluster_shaded_kernel(
     jax.lax.while_loop(keep_going, body, 0)
 
     # winner-attribute fetch: only shortlisted clusters can own winners
-    fet_ref[...] = jnp.zeros((S, _ATTR_HI, LANE), jnp.float32)
+    fet_ref[...] = jnp.zeros((tmin.shape[0], _ATTR_HI, LANE), jnp.float32)
     bid = bid_ref[...]
 
     def visit(c, in_c):
         blk = tri_ref[pl.ds(c * ck, ck), 0:_ATTR_HI]  # [ck, 45]
         sub = jax.lax.broadcasted_iota(jnp.int32, (ck, LANE), 0)
-        for s in range(S):
+        for s in range(tmin.shape[0]):
             local = bid[s:s + 1, :] - c * ck
             pick = ((sub == local) & in_c[s:s + 1, :]).astype(jnp.float32)
             fet_ref[s] = fet_ref[s] + jax.lax.dot_general(
@@ -815,9 +839,9 @@ def _cluster_shaded_kernel(
     id_ = bid.astype(jnp.float32)
     hit_f = (bid >= 0).astype(jnp.float32)
 
-    def attr(k):  # [S, 128] of fetched attr row k
+    def attr(k):  # [rows, 128] of fetched attr row k
         return jnp.concatenate(
-            [fet_ref[s, k:k + 1, :] for s in range(S)], axis=0
+            [fet_ref[s, k:k + 1, :] for s in range(tmin.shape[0])], axis=0
         )
 
     r1 = (attr(4), attr(5), attr(6))
@@ -845,9 +869,9 @@ def _cluster_shaded_kernel(
         a(k) for k in range(15, 33)
     ]
     while len(fields) < OUT_W:
-        fields.append(jnp.zeros((S, LANE), jnp.float32))
+        fields.append(jnp.zeros((tmin.shape[0], LANE), jnp.float32))
     for k, f_ in enumerate(fields):
-        out_ref[k] = f_
+        out_ref[k, 0] = f_
 
 
 def _cluster_closest_kernel(
@@ -867,7 +891,7 @@ def _cluster_closest_kernel(
         out_ref, bt_ref, bid_ref, fet_ref = rest
     o, d, inv_d, tmin, tmax = _ray_tiles(r_ref)
     bt_ref[...] = tmax
-    bid_ref[...] = jnp.full((S, LANE), -1, jnp.int32)
+    bid_ref[...] = jnp.full((tmin.shape[0], LANE), -1, jnp.int32)
     if use_proxy:
         _proxy_seed(proxy_ref, o, d, tmin, cull_backface, bt_ref, bid_ref)
 
@@ -894,7 +918,7 @@ def _cluster_closest_kernel(
     # bary refetch: one-hot over shortlisted winner clusters (BW rows 4..11)
     bid = bid_ref[...]
     t_ = bt_ref[...]
-    fet_ref[...] = jnp.zeros((S, 12, LANE), jnp.float32)
+    fet_ref[...] = jnp.zeros((tmin.shape[0], 12, LANE), jnp.float32)
 
     _shortlist_fetch_loop(
         order_ref, ng, ck, n_clusters, bid,
@@ -905,7 +929,7 @@ def _cluster_closest_kernel(
 
     def attr(k):
         return jnp.concatenate(
-            [fet_ref[s, k:k + 1, :] for s in range(S)], axis=0
+            [fet_ref[s, k:k + 1, :] for s in range(tmin.shape[0])], axis=0
         )
 
     ox, oy, oz = o
@@ -917,30 +941,36 @@ def _cluster_closest_kernel(
         attr(8) * dx + attr(9) * dy + attr(10) * dz
     )
     hit_f = (bid >= 0).astype(jnp.float32)
-    out_ref[0] = t_
-    out_ref[1] = bid.astype(jnp.float32)
-    out_ref[2] = u_acc * hit_f
-    out_ref[3] = v_acc * hit_f
+    out_ref[0, 0] = t_
+    out_ref[1, 0] = bid.astype(jnp.float32)
+    out_ref[2, 0] = u_acc * hit_f
+    out_ref[3, 0] = v_acc * hit_f
 
 
 # ---------------------------------------------------------------- wrappers
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "ck", "n_tris", "interpret", "directional"),
+    static_argnames=("n_clusters", "ck", "n_tris", "interpret", "directional",
+                     "sub_rows"),
 )
 def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
-                              interpret, directional=False):
+                              interpret, directional=False, sub_rows=S):
     n_cols = rows.shape[1]
+    sr = sub_rows
+    n_cells = n_cols // sr
     order, ngroups, entry = cell_cluster_shortlist(
-        rows, aabbs, n_cols // S, directional)
-    return pl.pallas_call(
+        rows, aabbs, n_cells, directional)
+    # 4-D ray layout: block last-two dims must equal the array's (see
+    # _ray_tiles docstring)
+    rows4 = rows.reshape(8, n_cells, sr, LANE)
+    out = pl.pallas_call(
         functools.partial(
             _cluster_occlusion_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
         ),
-        grid=(n_cols // S,),
+        grid=(n_cells,),
         in_specs=[
-            pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((8, 1, sr, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -953,27 +983,31 @@ def _launch_cluster_occlusion(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
             pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((S, LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, sr, LANE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((S, LANE), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_cells, sr, LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((sr, LANE), jnp.float32)],
         interpret=interpret,
-    )(rows, aabbs, order, ngroups, entry, tri_pack)
+    )(rows4, aabbs, order, ngroups, entry, tri_pack)
+    return out.reshape(n_cols, LANE)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "ck", "n_tris", "cull_backface",
-                     "interpret", "directional"),
+                     "interpret", "directional", "sub_rows"),
 )
 def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                            cull_backface, interpret, proxy=None,
-                           directional=False):
+                           directional=False, sub_rows=S):
     n_cols = rows.shape[1]
+    sr = sub_rows
+    n_cells = n_cols // sr
     order, ngroups, entry = cell_cluster_shortlist(
-        rows, aabbs, n_cols // S, directional)
+        rows, aabbs, n_cells, directional)
+    rows4 = rows.reshape(8, n_cells, sr, LANE)  # see _ray_tiles docstring
     in_specs = [
-        pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+        pl.BlockSpec((8, 1, sr, LANE), lambda i: (0, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -986,45 +1020,50 @@ def _launch_cluster_shaded(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
         pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [rows, aabbs, order, ngroups, entry, tri_pack]
+    operands = [rows4, aabbs, order, ngroups, entry, tri_pack]
     if proxy is not None:
         in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(proxy)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _cluster_shaded_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
             cull_backface=cull_backface, use_proxy=proxy is not None,
             cull_mode=_cull_mode(),
         ),
-        grid=(n_cols // S,),
+        grid=(n_cells,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((OUT_W, S, LANE), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((OUT_W, 1, sr, LANE), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((OUT_W, n_cols, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((OUT_W, n_cells, sr, LANE),
+                                       jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((S, LANE), jnp.float32),
-            pltpu.VMEM((S, LANE), jnp.int32),
-            pltpu.VMEM((S, _ATTR_HI, LANE), jnp.float32),
+            pltpu.VMEM((sr, LANE), jnp.float32),
+            pltpu.VMEM((sr, LANE), jnp.int32),
+            pltpu.VMEM((sr, _ATTR_HI, LANE), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
+    return out.reshape(OUT_W, n_cols, LANE)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "ck", "n_tris", "cull_backface",
-                     "interpret", "directional"),
+                     "interpret", "directional", "sub_rows"),
 )
 def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
                             cull_backface, interpret, proxy=None,
-                            directional=False):
+                            directional=False, sub_rows=S):
     n_cols = rows.shape[1]
+    sr = sub_rows
+    n_cells = n_cols // sr
     order, ngroups, entry = cell_cluster_shortlist(
-        rows, aabbs, n_cols // S, directional)
+        rows, aabbs, n_cells, directional)
+    rows4 = rows.reshape(8, n_cells, sr, LANE)  # see _ray_tiles docstring
     in_specs = [
-        pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+        pl.BlockSpec((8, 1, sr, LANE), lambda i: (0, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -1037,30 +1076,31 @@ def _launch_cluster_closest(rows, aabbs, tri_pack, n_clusters, ck, n_tris,
         pl.BlockSpec(tri_pack.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [rows, aabbs, order, ngroups, entry, tri_pack]
+    operands = [rows4, aabbs, order, ngroups, entry, tri_pack]
     if proxy is not None:
         in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(proxy)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _cluster_closest_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
             cull_backface=cull_backface, use_proxy=proxy is not None,
             cull_mode=_cull_mode(),
         ),
-        grid=(n_cols // S,),
+        grid=(n_cells,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((4, S, LANE), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((4, 1, sr, LANE), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, n_cols, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, n_cells, sr, LANE), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((S, LANE), jnp.float32),   # best_t
-            pltpu.VMEM((S, LANE), jnp.int32),     # winner tri id
-            pltpu.VMEM((S, 12, LANE), jnp.float32),  # BW winner rows
+            pltpu.VMEM((sr, LANE), jnp.float32),   # best_t
+            pltpu.VMEM((sr, LANE), jnp.int32),     # winner tri id
+            pltpu.VMEM((sr, 12, LANE), jnp.float32),  # BW winner rows
         ],
         interpret=interpret,
     )(*operands)
+    return out.reshape(4, n_cols, LANE)
 
 
 def intersect_closest_clusters(
@@ -1091,7 +1131,7 @@ def intersect_closest_clusters(
     out = _launch_cluster_closest(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
         int(tris.v0.shape[0]), cull_backface, interpret, proxy=proxy_pack,
-        directional=directional,
+        directional=directional, sub_rows=cell_rows(),
     )
     flat = out.reshape(4, -1)[:, :n]
     tri = flat[1].astype(jnp.int32).reshape(shape)
@@ -1111,16 +1151,18 @@ def intersect_closest_clusters(
 def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                                   n_tris, interpret, directional=False):
     n_cols = rows.shape[1]
+    n_cells = n_cols // S
     order, ngroups, _ = cell_cluster_shortlist(
-        rows, aabbs, n_cols // S, directional)
-    return pl.pallas_call(
+        rows, aabbs, n_cells, directional)
+    rows4 = rows.reshape(8, n_cells, S, LANE)  # see _ray_tiles docstring
+    out = pl.pallas_call(
         functools.partial(
             _cluster_occlusion_hbm_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
         ),
-        grid=(n_cols // S,),
+        grid=(n_cells,),
         in_specs=[
-            pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((8, 1, S, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -1130,16 +1172,17 @@ def _launch_cluster_occlusion_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
         ],
-        out_specs=pl.BlockSpec((S, LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, S, LANE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_cols, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_cells, S, LANE), jnp.float32),
         scratch_shapes=(
             [pltpu.VMEM((S, LANE), jnp.float32)]
             + [pltpu.VMEM((ck, 128), jnp.float32) for _ in range(G)]
             + [pltpu.SemaphoreType.DMA for _ in range(G)]
         ),
         interpret=interpret,
-    )(rows, aabbs, order, ngroups, tri_pack)
+    )(rows4, aabbs, order, ngroups, tri_pack)
+    return out.reshape(n_cols, LANE)
 
 
 @functools.partial(
@@ -1151,10 +1194,12 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                                 n_tris, cull_backface, interpret, proxy=None,
                                 directional=False):
     n_cols = rows.shape[1]
+    n_cells = n_cols // S
     order, ngroups, entry = cell_cluster_shortlist(
-        rows, aabbs, n_cols // S, directional)
+        rows, aabbs, n_cells, directional)
+    rows4 = rows.reshape(8, n_cells, S, LANE)  # see _ray_tiles docstring
     in_specs = [
-        pl.BlockSpec((8, S, LANE), lambda i: (0, i, 0),
+        pl.BlockSpec((8, 1, S, LANE), lambda i: (0, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(aabbs.shape, lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
@@ -1166,22 +1211,22 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # triangle pack stays in HBM
     ]
-    operands = [rows, aabbs, order, ngroups, entry, tri_pack]
+    operands = [rows4, aabbs, order, ngroups, entry, tri_pack]
     if proxy is not None:
         in_specs.append(pl.BlockSpec(proxy.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(proxy)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _cluster_closest_hbm_kernel,
             n_clusters=n_clusters, ck=ck, n_tris=n_tris,
             cull_backface=cull_backface, use_proxy=proxy is not None,
         ),
-        grid=(n_cols // S,),
+        grid=(n_cells,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((4, S, LANE), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((4, 1, S, LANE), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, n_cols, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, n_cells, S, LANE), jnp.float32),
         scratch_shapes=(
             [
                 pltpu.VMEM((S, LANE), jnp.float32),
@@ -1193,6 +1238,7 @@ def _launch_cluster_closest_hbm(rows, aabbs, tri_pack, n_clusters, ck,
         ),
         interpret=interpret,
     )(*operands)
+    return out.reshape(4, n_cols, LANE)
 
 
 def occluded_clusters_hbm(tris, origin, direction, t_min, t_max=None,
@@ -1270,6 +1316,7 @@ def occluded_clusters(tris, origin, direction, t_min, t_max=None,
     hits = _launch_cluster_occlusion(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
         int(tris.v0.shape[0]), interpret, directional=directional,
+        sub_rows=cell_rows(),
     )
     return (hits.reshape(-1)[:n] > 0).reshape(shape)
 
@@ -1296,7 +1343,7 @@ def intersect_shaded_clusters(
     out = _launch_cluster_shaded(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
         int(tris.v0.shape[0]), cull_backface, interpret, proxy=proxy_pack,
-        directional=directional,
+        directional=directional, sub_rows=cell_rows(),
     )
     fields = out.reshape(OUT_W, -1)[:, :n].T.reshape(shape + (OUT_W,))
     tri = fields[..., 1].astype(jnp.int32)
@@ -1336,7 +1383,7 @@ def intersect_shaded_clusters_fm(
     out = _launch_cluster_shaded(
         rows, aabbs, tri_pack, int(aabbs.shape[0]), ck,
         int(tris.v0.shape[0]), cull_backface, interpret, proxy=proxy_pack,
-        directional=directional,
+        directional=directional, sub_rows=cell_rows(),
     )
     flat = out.reshape(OUT_W, -1)[:, :n]
     fields_fm = flat.reshape((OUT_W,) + shape)

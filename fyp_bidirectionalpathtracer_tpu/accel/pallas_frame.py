@@ -1386,7 +1386,8 @@ def render_frame_megakernel(
             a = jnp.concatenate(a_all)
         splat_flat = splat_mod.scatter_add_rgba(
             bcfg.splat_mode, lin, rgb, a, n_pix, alpha_is_count=True,
-            segments=len(tex_splats) if textured else d_max,
+            segments=(len(tex_splats) if textured else d_max)
+            if bcfg.splat_segments else 1,
         )
         if axis_name is not None:
             # the one cross-chip collective: reduce splat images over ICI,

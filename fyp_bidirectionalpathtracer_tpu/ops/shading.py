@@ -27,6 +27,12 @@ def _tap_kinds(atlas, mat_id, bc_tex, sp_tex, em_tex, uv,
     TextureAtlas.combined — HBM gathers cost ~23 ms/1M indices each on
     v5e whatever the table looks like, so one tap beats three); otherwise
     the per-kind packed/bilinear taps."""
+    import os as _os
+
+    if _os.environ.get("FYP_STUB_TAPS"):
+        # timing attribution only (breaks textured shading): constants
+        # stand in for every tap, isolating the in-frame atlas-gather cost
+        return base_const, spec_const, em_rgb
     if atlas.combined is not None and (
         atlas.any_base or atlas.any_spec or atlas.any_emissive
     ):
@@ -320,7 +326,8 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
                        force_fused: bool | None = None,
                        sort_divergent: bool = False,
                        force_cluster: bool = False,
-                       lean_bf16: bool | None = None):
+                       lean_bf16: bool | None = None,
+                       bounce_tex_mean: bool = False):
     """Build a `trace(origin, dir, t_min, view_origin, cull_backface,
     coherent) -> (HitRecord, ShadingData)` closure.
 
@@ -351,6 +358,16 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
     on_tpu = jax.default_backend() == "tpu"
     if lean_bf16 is None:
         lean_bf16 = on_tpu
+    atlas_full = baked.data.textures
+    # bounce_tex_mean: lean (secondary-bounce) decodes shade with the
+    # per-material MEAN texture colors baked into the material constants
+    # (scene.Scene.bake) — any_* = False statically removes every tap from
+    # the decode (ops.texture.sample_or_constant), saving the ~22 ms/1M
+    # combined-atlas gather per extension trace.  Primary/coherent traces
+    # keep the exact atlas.  See utils/config.BDPTConfig.bounce_tex_mean.
+    atlas_mean = (atlas_full.replace(
+        packed=None, combined=None, any_base=False, any_spec=False,
+        any_emissive=False) if bounce_tex_mean else atlas_full)
     use_fused = (n_tris <= brute_threshold) if force_fused is None else force_fused
     use_fused = use_fused and (on_tpu or force_fused) and (
         traverse_mod.PALLAS_ENABLED or force_fused
@@ -418,8 +435,8 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
                     cull_backface=cull_backface, interpret=interp,
                 )
                 sd = shading_from_fields_fm(
-                    fields_fm, baked.data.textures, hit, origin, direction,
-                    view_origin
+                    fields_fm, atlas_mean if lean else atlas_full, hit,
+                    origin, direction, view_origin
                 )
                 return hit, sd
             if not coherent and sort_divergent:
@@ -493,7 +510,8 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
                         proxy_pack=proxy,
                     )
                 sd_s = shading_from_fields_fm(
-                    ffm_s, baked.data.textures, hit_s, o_s, d_s, vo_s
+                    ffm_s, atlas_mean if lean else atlas_full, hit_s, o_s,
+                    d_s, vo_s
                 )
                 if lean:
                     if lean_bf16:
@@ -636,14 +654,14 @@ def make_shaded_tracer(baked, brute_threshold: int = 2048,
 
             def trace(origin, direction, t_min, view_origin,
                       cull_backface=False, coherent=True, lean=False):
-                del coherent, lean  # dense kernels: ray order/output width moot
+                del coherent  # dense kernels: ray order is moot
                 hit, fields_fm = intersect_shaded_lanes_fm(
                     baked.tris, pack, origin, direction, t_min,
                     cull_backface=cull_backface, interpret=False,
                 )
                 sd = shading_from_fields_fm(
-                    fields_fm, baked.data.textures, hit, origin, direction,
-                    view_origin
+                    fields_fm, atlas_mean if lean else atlas_full, hit,
+                    origin, direction, view_origin
                 )
                 return hit, sd
 

@@ -186,11 +186,17 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
     envelope.
 
     `segments` (static, dividing U) sorts S independent update runs in ONE
-    batched lax.sort instead of a global sort: the TPU sort network is
-    O(n log^2 n), so d_max per-depth segment sorts of U/S elements cost
-    ~60% of one U-element sort, and the tile kernel walks each segment's
-    covering blocks per tile in depth order — per-pixel accumulation order
-    is the reference's either way (depth-major, stable within depth)."""
+    batched lax.sort instead of a global sort, and the tile kernel walks
+    each segment's covering blocks per tile in depth order — per-pixel
+    accumulation order is the reference's either way (depth-major: the
+    flat path relies on lax.sort stability over the depth-concatenated
+    input).  Measured-NEGATIVE on v5e (round 4): a [S, U/S] f32 sort
+    operand is sublane-padded to 8 rows, so at S=3 the sort moves ~2.7x
+    the bytes of the flat 1-D sort (segments_on 34.3 vs flat ~22 ms whole
+    Cornell frame), and the kernel pays S DMA pipelines + S one-hot dots
+    per tile on top.  (The same padding bit the s_count==1 path when it
+    briefly sorted [1, U]: +13 ms/frame — hence the explicit flat branch
+    below.)  Production configs keep BDPTConfig.splat_segments=False."""
     u = lin.shape[0]
     n_tiles = _round_up(max(n_targets, 1), TILE) // TILE
     sent = jnp.int32(n_tiles * TILE)
@@ -198,10 +204,14 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
 
     s_count = segments if (segments > 1 and u % segments == 0) else 1
     us = u // s_count
-    k2 = keys.reshape(s_count, us)
-    r2 = rgb[:, 0].reshape(s_count, us)
-    g2 = rgb[:, 1].reshape(s_count, us)
-    b2 = rgb[:, 2].reshape(s_count, us)
+    # s_count == 1 MUST sort flat 1-D arrays: a [1, U] f32 operand is
+    # sublane-padded 8x on TPU, and the padded batched sort measured
+    # +13 ms on the Cornell frame (21.9 -> 35 ms whole pipeline, round 4)
+    shape2 = (s_count, us) if s_count > 1 else (u,)
+    k2 = keys.reshape(shape2)
+    r2 = rgb[:, 0].reshape(shape2)
+    g2 = rgb[:, 1].reshape(shape2)
+    b2 = rgb[:, 2].reshape(shape2)
 
     if pack == "rgb8e":
         if not alpha_is_count:
@@ -218,7 +228,7 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
     elif pack == "bf16":
         ls, rg, ba = jax.lax.sort(
             [k2, _pack2bf16(r2, g2),
-             _pack2bf16(b2, alpha.reshape(s_count, us))], num_keys=1
+             _pack2bf16(b2, alpha.reshape(shape2))], num_keys=1
         )
         r, g = _unpack2bf16(rg)
         b, a = _unpack2bf16(ba)
@@ -227,38 +237,54 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
         a = jnp.where(ls < sent, 1.0, 0.0)
     else:
         ls, r, g, b, a = jax.lax.sort(
-            [k2, r2, g2, b2, alpha.reshape(s_count, us)], num_keys=1
+            [k2, r2, g2, b2, alpha.reshape(shape2)], num_keys=1
         )
 
     if sort_only:
         # timing attribution only (splat_mode='tiled_sortonly'): keep the
         # sort live via a data-dependent always-zero scalar, skip the kernel
-        z = jnp.minimum(jnp.abs(r[0, 0] + g[0, 0] + b[0, 0] + a[0, 0])
-                        + ls[0, 0].astype(jnp.float32) ** 2, 0.0)
+        z = jnp.minimum(jnp.abs(r.reshape(-1)[0] + g.reshape(-1)[0]
+                                + b.reshape(-1)[0] + a.reshape(-1)[0])
+                        + ls.reshape(-1)[0].astype(jnp.float32) ** 2, 0.0)
         return jnp.zeros((n_targets, 4), jnp.float32) + z
 
     us_pad = _round_up(max(us, K), K)
     pad = us_pad - us
-    if pad:
-        ls = jnp.concatenate(
-            [ls, jnp.full((s_count, pad), sent, ls.dtype)], axis=1)
-        z = jnp.zeros((s_count, pad), jnp.float32)
-        r, g, b, a = (jnp.concatenate([v, z], axis=1) for v in (r, g, b, a))
-    vdt = jnp.bfloat16 if mxu_bf16 else jnp.float32
-    flat = lambda v: v.reshape(s_count * us_pad)  # noqa: E731
-    vals = jnp.concatenate(
-        [jnp.stack([flat(r), flat(g), flat(b), flat(a)]),
-         jnp.zeros((_ROWS - 4, s_count * us_pad), jnp.float32)]
-    ).astype(vdt)
-
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
-    off = jax.vmap(
-        lambda row: jnp.searchsorted(row, bounds, side="left")
-    )(ls).astype(jnp.int32)                       # [S, n_tiles+1]
-    lo, hi = off[:, :-1], off[:, 1:]
-    seg0 = (jnp.arange(s_count, dtype=jnp.int32) * (us_pad // K))[:, None]
-    blk0 = (seg0 + lo // K).T.reshape(-1)         # flat [n_tiles * S]
-    nblk = jnp.where(hi > lo, (hi - 1) // K - lo // K + 1, 0).T.reshape(-1)
+    vdt = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    if s_count == 1:
+        # flat path (the production shape): 1-D pads + 1-D searchsorted
+        if pad:
+            ls = jnp.concatenate([ls, jnp.full((pad,), sent, ls.dtype)])
+            z = jnp.zeros((pad,), jnp.float32)
+            r, g, b, a = (jnp.concatenate([v, z]) for v in (r, g, b, a))
+        vals = jnp.concatenate(
+            [jnp.stack([r, g, b, a]),
+             jnp.zeros((_ROWS - 4, us_pad), jnp.float32)]
+        ).astype(vdt)
+        off = jnp.searchsorted(ls, bounds, side="left").astype(jnp.int32)
+        lo, hi = off[:-1], off[1:]
+        blk0 = lo // K
+        nblk = jnp.where(hi > lo, (hi - 1) // K - blk0 + 1, 0)
+    else:
+        if pad:
+            ls = jnp.concatenate(
+                [ls, jnp.full((s_count, pad), sent, ls.dtype)], axis=1)
+            z = jnp.zeros((s_count, pad), jnp.float32)
+            r, g, b, a = (
+                jnp.concatenate([v, z], axis=1) for v in (r, g, b, a))
+        flat = lambda v: v.reshape(s_count * us_pad)  # noqa: E731
+        vals = jnp.concatenate(
+            [jnp.stack([flat(r), flat(g), flat(b), flat(a)]),
+             jnp.zeros((_ROWS - 4, s_count * us_pad), jnp.float32)]
+        ).astype(vdt)
+        off = jax.vmap(
+            lambda row: jnp.searchsorted(row, bounds, side="left")
+        )(ls).astype(jnp.int32)                       # [S, n_tiles+1]
+        lo, hi = off[:, :-1], off[:, 1:]
+        seg0 = (jnp.arange(s_count, dtype=jnp.int32) * (us_pad // K))[:, None]
+        blk0 = (seg0 + lo // K).T.reshape(-1)         # flat [n_tiles * S]
+        nblk = jnp.where(hi > lo, (hi - 1) // K - lo // K + 1, 0).T.reshape(-1)
 
     out = pl.pallas_call(
         functools.partial(_kernel, mxu_bf16=mxu_bf16, segments=s_count),

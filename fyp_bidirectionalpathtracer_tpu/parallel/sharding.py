@@ -216,7 +216,8 @@ def sharded_wavefront_step(cfg, mesh: Mesh):
             bdpt_frame, cfg.gbuffer.jitter_mode
         )
         intersect = scene.intersector()
-        trace = make_shaded_tracer(scene, sort_divergent=cfg.bdpt.sort_bounces)
+        trace = make_shaded_tracer(scene, sort_divergent=cfg.bdpt.sort_bounces,
+                                   bounce_tex_mean=cfg.bdpt.bounce_tex_mean)
         lens_radius = (
             cfg.gbuffer.focal_length_gui / (2.0 * cfg.gbuffer.f_stop)
             if cfg.gbuffer.use_thin_lens

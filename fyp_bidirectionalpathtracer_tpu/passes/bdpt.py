@@ -307,7 +307,8 @@ def bdpt_pass(
     if trace is None:
         from ..ops.shading import make_shaded_tracer
 
-        trace = make_shaded_tracer(baked, sort_divergent=cfg.sort_bounces)
+        trace = make_shaded_tracer(baked, sort_divergent=cfg.sort_bounces,
+                                   bounce_tex_mean=cfg.bounce_tex_mean)
     cam = baked.data.camera
     lights = baked.data.lights
     pos4 = channels["WorldPosition"]
@@ -594,7 +595,8 @@ def bdpt_pass(
         a_all = jnp.concatenate(e2_adds[3])
         splat_full = splat_mod.scatter_add_rgba(
             cfg.splat_mode, lin_all, rgb_all, a_all, g_height * width,
-            alpha_is_count=True, segments=len(e2_lin),
+            alpha_is_count=True,
+            segments=len(e2_lin) if cfg.splat_segments else 1,
         ).reshape((g_height, width, 4))
     else:
         splat_full = jnp.stack(splat_ch, -1).reshape((g_height, width, 4))

@@ -88,7 +88,8 @@ def render_frame_fn(
         )
     else:
         intersect = scene.intersector()
-        trace = make_shaded_tracer(scene, sort_divergent=cfg.bdpt.sort_bounces)
+        trace = make_shaded_tracer(scene, sort_divergent=cfg.bdpt.sort_bounces,
+                                   bounce_tex_mean=cfg.bdpt.bounce_tex_mean)
 
         lens_radius = (
             cfg.gbuffer.focal_length_gui / (2.0 * cfg.gbuffer.f_stop)
@@ -276,7 +277,8 @@ class Renderer:
                 jitter = gbuffer_mod.pixel_jitter_for_frame(
                     bdpt_frame, cfg.gbuffer.jitter_mode)
                 trace = make_shaded_tracer(
-                    scene, sort_divergent=cfg.bdpt.sort_bounces)
+                    scene, sort_divergent=cfg.bdpt.sort_bounces,
+                    bounce_tex_mean=cfg.bdpt.bounce_tex_mean)
                 return bdpt_mod.bdpt_pass(
                     scene, scene.intersector(), channels, bdpt_frame, jitter,
                     cfg.bdpt, trace=trace)

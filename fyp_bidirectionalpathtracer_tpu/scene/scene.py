@@ -230,6 +230,14 @@ class Scene:
                 base_color[i, :3] = np.maximum(
                     images[bc_tex[i]][:, :, :3].mean(axis=(0, 1)), 1e-3
                 )
+            # spec/emissive means likewise (textured materials never read
+            # these constants on the exact paths — _tap_kinds selects the
+            # texture — so they are free to carry the means for the
+            # bounce_tex_mean secondary-shading mode, utils/config.py)
+            if sp_tex[i] >= 0:
+                specular[i] = images[sp_tex[i]].mean(axis=(0, 1))
+            if em_tex[i] >= 0:
+                emissive[i] = images[em_tex[i]][:, :, :3].mean(axis=(0, 1))
 
         if images:
             data = np.stack(images)

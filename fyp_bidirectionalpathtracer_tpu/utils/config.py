@@ -46,6 +46,16 @@ class BDPTConfig:
     # TPU; kept for documentation), 'tiled*' the Pallas tile kernel family
     # (ops/splat_tile.py)
     splat_mode: str = "auto"
+    # Per-depth segment sorts inside the tiled splat (ops/splat_tile.py
+    # `segments`): S batched sorts of U/S updates instead of one flat
+    # U-update sort.  Default OFF: in-frame measured-NEGATIVE on v5e —
+    # a [S, U/S] f32 sort operand is sublane-padded to 8 rows, so at S=3
+    # the sort moves ~2.7x the flat sort's bytes (segments_on 34.3 ms vs
+    # flat ~22 ms whole Cornell 720p frame, round 4), plus S DMA pipelines
+    # + S one-hot dots per tile in the kernel.  Kept as an opt-in because
+    # per-depth runs preserve the reference's depth-major accumulation
+    # order with a cheaper key (no depth bits needed).
+    splat_segments: bool = False
     # whole-frame megakernel (accel.pallas_frame): 'auto' uses it on TPU for
     # scenes in its scope (untextured, constant env, pinhole, uniform
     # weights), 'on' forces it (interpret mode off-TPU; tests), 'off' always
@@ -66,6 +76,17 @@ class BDPTConfig:
     # an argument-resident atlas) = ~155 ms/frame, more than the whole
     # wavefront.  Re-default if taps drop below ~8 ms/1M.
     defer_textures: bool = False
+    # Secondary-vertex shading with per-material MEAN texture colors instead
+    # of per-texel taps (textured scenes, wavefront lean bounce decodes
+    # only; primary hits always tap exactly).  The reference taps textures
+    # at every path vertex (BDPTUtils.hlsli:2-53); on TPU each bounce
+    # decode's combined-atlas tap is a ~22 ms/1M-ray HBM gather (CLAUDE.md)
+    # — the single largest per-trace glue cost on the textured flagship.
+    # Estimator deviation when on: indirect bounces carry mean albedo
+    # (diffuse interreflection loses texel detail); direct lighting, the
+    # G-buffer and emissive stay exact.  Default off pending the round-4
+    # fidelity + frame-time measurement; see PARITY.md.
+    bounce_tex_mean: bool = False
     # Direction-major-sort bounce wavefronts before the cluster-tier closest
     # trace (ops.raysort dirq keys): BRDF-sampled extension rays have
     # coherent origins but scattered directions, which defeats the

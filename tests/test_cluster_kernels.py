@@ -330,3 +330,71 @@ def test_sorted_anyhit_dead_lane_tail_packing(spheres):
     h1 = inter(o, d, 1e-3, t_max=tmax, closest=False, coherent=False)
     np.testing.assert_array_equal(np.asarray(h0.hit), np.asarray(h1.hit))
     assert not np.asarray(h1.hit)[np.asarray(tmax) == 0.0].any()
+
+
+def test_sub_cell_rows_match_default(spheres, monkeypatch):
+    """FYP_CELL_ROWS=2 (256-ray sort cells -> tighter exact shortlists,
+    accel.pallas_cluster.cell_rows) must produce IDENTICAL results to the
+    default 1024-ray cells: the shortlist is conservative at any
+    granularity and the pair tests are unchanged."""
+    o, d = _rays(900, seed=7)
+    tmax = jnp.full((900,), 4.0)
+    tp = pc.pack_shaded_tris_cluster(spheres.tris, spheres.data.materials)
+    lp = pc.pack_tris_cluster(spheres.tris)
+    ab = pc.pack_cluster_aabbs(spheres.tris)
+
+    occ8 = pc.occluded_clusters(spheres.tris, o, d, 1e-3, t_max=tmax,
+                                tri_pack=lp, aabbs=ab)
+    h8, f8 = pc.intersect_shaded_clusters(spheres.tris, tp, ab, o, d, 1e-3)
+    c8 = pc.intersect_closest_clusters(spheres.tris, o, d, 1e-3,
+                                       tri_pack=lp, aabbs=ab)
+    monkeypatch.setenv("FYP_CELL_ROWS", "2")
+    occ2 = pc.occluded_clusters(spheres.tris, o, d, 1e-3, t_max=tmax,
+                                tri_pack=lp, aabbs=ab)
+    h2, f2 = pc.intersect_shaded_clusters(spheres.tris, tp, ab, o, d, 1e-3)
+    c2 = pc.intersect_closest_clusters(spheres.tris, o, d, 1e-3,
+                                       tri_pack=lp, aabbs=ab)
+    np.testing.assert_array_equal(np.asarray(occ8), np.asarray(occ2))
+    np.testing.assert_array_equal(np.asarray(h8.tri), np.asarray(h2.tri))
+    # winners/t/occlusion are bit-identical; the decoded attribute fields
+    # go through free-form arithmetic the two (differently-shaped) compiled
+    # programs may reassociate differently — ulp-level tolerance
+    np.testing.assert_allclose(np.asarray(f8), np.asarray(f2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c8.tri), np.asarray(c2.tri))
+    np.testing.assert_array_equal(np.asarray(c8.t), np.asarray(c2.t))
+
+
+def test_bounce_tex_mean_uses_material_means():
+    """bounce_tex_mean (utils/config.BDPTConfig): lean bounce decodes shade
+    with the per-material MEAN texture colors baked into the material
+    constants (scene.Scene.bake), tap-free; lean=False keeps exact taps.
+    Reference taps per vertex (BDPTUtils.hlsli:2-53) — deviation is
+    documented in PARITY.md."""
+    from fyp_bidirectionalpathtracer_tpu.models.procedural import textured_room
+    from fyp_bidirectionalpathtracer_tpu.ops.shading import make_shaded_tracer
+    from fyp_bidirectionalpathtracer_tpu.scene.scene import Scene
+
+    baked = Scene.from_built(textured_room()).bake()
+    tr_mean = make_shaded_tracer(baked, force_cluster=True,
+                                 bounce_tex_mean=True, lean_bf16=False,
+                                 sort_divergent=True)
+    tr_exact = make_shaded_tracer(baked, force_cluster=True,
+                                  bounce_tex_mean=False, lean_bf16=False,
+                                  sort_divergent=True)
+    o, d = _rays(600, seed=11, spread=2.0)
+    vo = jnp.zeros(3, jnp.float32)
+    hit_m, sd_m = tr_mean(o, d, 1e-3, vo, coherent=False, lean=True)
+    hit_e, sd_e = tr_exact(o, d, 1e-3, vo, coherent=False, lean=True)
+    np.testing.assert_array_equal(np.asarray(hit_m.t), np.asarray(hit_e.t))
+    dm = np.asarray(sd_m.diffuse)
+    de = np.asarray(sd_e.diffuse)
+    assert np.isfinite(dm).all()
+    hits = np.asarray(hit_m.hit)
+    # textured walls: exact taps vary per texel, means are constant per
+    # material — the two must genuinely differ somewhere...
+    assert np.abs(dm[hits] - de[hits]).max() > 1e-3
+    # ...but agree in aggregate (the mean IS the texture average)
+    assert abs(dm[hits].mean() - de[hits].mean()) < 0.1
+    # and the mean-path diffuse takes few distinct values (per material)
+    assert len(np.unique(np.round(dm[hits], 5))) < 64
