@@ -119,6 +119,35 @@ def main(width=1280, height=720, depth=3, warmup=3, iters=10):
         tex_ms = tex["ms_per_frame"]
     except Exception:  # pragma: no cover - keep the headline metric robust
         tex_ms = None
+    # reference-exact taps mode (bounce_tex_mean=False, PARITY.md): keep the
+    # per-vertex-tap number tracked alongside the production default
+    try:
+        from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
+
+        sc_tex = load_scene("textured")
+        baked_tex = sc_tex.bake(max_lights=16)
+        cfg_ex = RenderConfig(
+            width=width, height=height,
+            bdpt=BDPTConfig(max_depth=depth, bounce_tex_mean=False))
+        fn_ex = jax.jit(functools.partial(render_frame_fn, cfg=cfg_ex))
+        accum_ex = AccumState.create(height, width)
+        bmfr_ex = BMFRState.create(height, width)
+
+        def step_ex(i, accum, bmfr):
+            return fn_ex(baked_tex, baked_tex.data.camera, accum, bmfr,
+                         jnp.uint32(GBUF_FRAME_INIT + i),
+                         jnp.uint32(BDPT_FRAME_INIT + i), reset)
+
+        for i in range(2):
+            ch_ex, accum_ex, bmfr_ex = step_ex(i, accum_ex, bmfr_ex)
+        float(ch_ex["PipelineOutput"][0, 0, 0])
+        t0 = time.perf_counter()
+        for i in range(2, 2 + 5):
+            ch_ex, accum_ex, bmfr_ex = step_ex(i, accum_ex, bmfr_ex)
+        float(ch_ex["PipelineOutput"][0, 0, 0])
+        tex_exact_ms = round((time.perf_counter() - t0) / 5 * 1e3, 2)
+    except Exception:  # pragma: no cover - keep the headline metric robust
+        tex_exact_ms = None
     try:
         from benchmarks.scene_frame_micro import time_scene
 
@@ -142,6 +171,7 @@ def main(width=1280, height=720, depth=3, warmup=3, iters=10):
                     "bmfr_ms_per_frame": (round(bmfr_ms, 2)
                                           if bmfr_ms is not None else None),
                     "textured_ms_per_frame": tex_ms,
+                    "textured_exact_ms_per_frame": tex_exact_ms,
                     "pink_room_ms_per_frame": pink_ms,
                     "device": str(jax.devices()[0]),
                 },

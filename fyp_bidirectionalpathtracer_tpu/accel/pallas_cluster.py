@@ -64,12 +64,12 @@ def cell_rows() -> int:
     """Lane-rows (x128 lanes) per kernel program = sort-cell size / 128.
 
     Smaller cells tighten the per-cell EXACT cluster shortlists on
-    divergent wavefronts — a 1024-ray cell's shortlist is the union over
-    all 1024 rays, so quartering the cell cuts total pair work ~40% on a
-    synthetic pink_room bounce wavefront (visits/cell 46.5 at 8 rows ->
-    27.4 at 2, pair work 43M -> 25M ray-cluster rows; round-4 CPU sweep)
-    at the price of 4x the per-visit scalar predicates and 4x the grid.
-    FYP_CELL_ROWS overrides for experiments."""
+    divergent wavefronts (visits/cell 19.4 at 8 rows -> 13.4 at 2 on a
+    cosine-bounce pink_room wavefront, pair work -33%; round-4 CPU sweep)
+    — but MEASURED NEGATIVE in-frame on v5e: pink_room 681 -> 883 ms at
+    2 rows (4x grid programs x ~9 us per-program overhead swamps the pair
+    -work saving).  Default stays 8 (1024-ray cells); FYP_CELL_ROWS
+    overrides for experiments."""
     import os
 
     v = int(os.environ.get("FYP_CELL_ROWS", "8"))

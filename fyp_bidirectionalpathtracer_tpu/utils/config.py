@@ -84,9 +84,14 @@ class BDPTConfig:
     # — the single largest per-trace glue cost on the textured flagship.
     # Estimator deviation when on: indirect bounces carry mean albedo
     # (diffuse interreflection loses texel detail); direct lighting, the
-    # G-buffer and emissive stay exact.  Default off pending the round-4
-    # fidelity + frame-time measurement; see PARITY.md.
-    bounce_tex_mean: bool = False
+    # G-buffer and emissive stay exact.  Default ON — measured round 4:
+    # textured room 164 -> 113 ms/frame, pink_room 733 -> 681; accumulated
+    # -image PSNR exact-vs-mean 40.0 dB (textured, 64 frames) / 54.3 dB
+    # (pink_room, 32 frames), far above the 35 dB north-star bar.  Set
+    # False for reference-exact per-vertex taps (parity tests do); CPU
+    # pipeline paths ignore the flag (their gather decode has no tap to
+    # skip).  See PARITY.md.
+    bounce_tex_mean: bool = True
     # Direction-major-sort bounce wavefronts before the cluster-tier closest
     # trace (ops.raysort dirq keys): BRDF-sampled extension rays have
     # coherent origins but scattered directions, which defeats the
