@@ -336,11 +336,19 @@ def _slab_tiles(aabb_ref, c, o, inv_d, tmin, tmax):
     return (t_enter <= t_exit) & (t_exit >= tmin) & (t_enter <= tmax)
 
 
-G = 8  # clusters per culling group (one scalar branch per group)
-# G=16 measured WORSE across the board on pink_room at ck=64 (primary
-# 38.9->42.0, bounce 117->125, any-hit 3-stack 77.5->88.2 ms/1M, v5e):
-# beyond G=8 the extra always-executed slab work outweighs the halved
-# group branches.
+def _pick_g() -> int:
+    """Clusters per culling group (one scalar branch per group).  G=16
+    measured WORSE across the board on pink_room at ck=64 (primary
+    38.9->42.0, bounce 117->125, any-hit 3-stack 77.5->88.2 ms/1M, v5e):
+    beyond G=8 the extra always-executed slab work outweighs the halved
+    group branches.  G=4 measured in-frame round 4 (see BASELINE.md).
+    FYP_G overrides for experiments."""
+    import os
+
+    return int(os.environ.get("FYP_G", "8"))
+
+
+G = _pick_g()
 
 
 def _or_reduce_bits(mask):
