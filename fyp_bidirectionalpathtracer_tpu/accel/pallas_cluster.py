@@ -73,7 +73,7 @@ def cell_rows() -> int:
     import os
 
     v = int(os.environ.get("FYP_CELL_ROWS", "8"))
-    if S % v or v < 1:
+    if v < 1 or S % v:
         raise ValueError(f"FYP_CELL_ROWS={v} must divide S={S}")
     return v
 
@@ -345,7 +345,12 @@ def _pick_g() -> int:
     FYP_G overrides for experiments."""
     import os
 
-    return int(os.environ.get("FYP_G", "8"))
+    v = int(os.environ.get("FYP_G", "8"))
+    if not 1 <= v <= 64:
+        # G <= 0 would silently build empty per-group scratch/semaphore
+        # lists and fail later with an opaque trace-time error
+        raise ValueError(f"FYP_G={v} must be in [1, 64]")
+    return v
 
 
 G = _pick_g()

@@ -18,6 +18,21 @@ from ..core.vecmath import dot, normalize
 from ..scene.types import MaterialArray, SHADING_METAL_ROUGH, TextureAtlas
 from .texture import sample_combined, sample_or_constant
 
+# Timing-attribution knob (breaks textured shading — NEVER for rendering):
+# replace every atlas tap with the material constants, isolating the
+# in-frame gather cost.  Read ONCE at import like the other experiment
+# knobs: _tap_kinds is traced under jit, so a mid-process env toggle could
+# not take effect anyway (the jit cache would keep the old value).
+import os as _os
+
+_STUB_TAPS = bool(_os.environ.get("FYP_STUB_TAPS"))
+if _STUB_TAPS:  # pragma: no cover - experiment-only path
+    import warnings
+
+    warnings.warn("FYP_STUB_TAPS is active: texture taps are stubbed with "
+                  "material constants (timing attribution only; textured "
+                  "images are WRONG)", stacklevel=1)
+
 
 def _tap_kinds(atlas, mat_id, bc_tex, sp_tex, em_tex, uv,
                base_const, spec_const, em_rgb):
@@ -27,9 +42,7 @@ def _tap_kinds(atlas, mat_id, bc_tex, sp_tex, em_tex, uv,
     TextureAtlas.combined — HBM gathers cost ~23 ms/1M indices each on
     v5e whatever the table looks like, so one tap beats three); otherwise
     the per-kind packed/bilinear taps."""
-    import os as _os
-
-    if _os.environ.get("FYP_STUB_TAPS"):
+    if _STUB_TAPS:
         # timing attribution only (breaks textured shading): constants
         # stand in for every tap, isolating the in-frame atlas-gather cost
         return base_const, spec_const, em_rgb

@@ -165,7 +165,14 @@ def scatter_add_rgba(mode: str, lin, rgb, alpha, n_targets: int,
     pipeline 21.9 vs 27.0 ms/frame for plain 'tiled' on Cornell 720p d=3,
     benchmarks/cornell_splat_micro.py) falling back to 'tiled_bf16w' for
     general alphas; 'direct' elsewhere (keeps CPU golden images on the
-    reference-ordered summation)."""
+    reference-ordered summation).
+
+    PRECONDITION (rgb8e): the rgb channels must be NON-NEGATIVE — the
+    8-bit shared-exponent pack clips negatives to 0 (splat_tile
+    ._pack_rgb8e).  Every estimator-2 splat satisfies this (physical
+    BRDFs x clamp_vec's [0, upper] clamp + the NaN guard); callers with
+    possibly-signed rgb must pass alpha_is_count=False (-> tiled_bf16w,
+    sign-preserving) or an explicit mode."""
     if mode == "auto":
         if jax.default_backend() == "tpu":
             mode = "tiled_rgb8e" if alpha_is_count else "tiled_bf16w"
