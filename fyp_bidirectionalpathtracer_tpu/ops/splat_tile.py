@@ -157,9 +157,59 @@ def _unpack2bf16(p):
     return x, y
 
 
+def _tile_call(blk0, nblk, ls2d, vals, n_tiles, vdt, mxu_bf16, s_count,
+               interpret):
+    """The one-hot MXU tile-reduction pallas_call (shared by the flat,
+    compacted and segmented paths)."""
+    return pl.pallas_call(
+        functools.partial(_kernel, mxu_bf16=mxu_bf16, segments=s_count),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (_ROWS, TILE), lambda t, b0, nb: (0, t)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.VMEM((2, _ROWS, K), vdt),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, n_tiles * TILE), jnp.float32),
+        interpret=interpret,
+    )(blk0, nblk, ls2d, vals)
+
+
+def _flat_reduce(ls, r, g, b, a, n_tiles, sent, vdt, mxu_bf16, interpret):
+    """Pad + per-tile covering-block ranges + tile kernel for a FLAT
+    (1-D, single-segment) sorted update run."""
+    us = ls.shape[0]
+    us_pad = _round_up(max(us, K), K)
+    pad = us_pad - us
+    if pad:
+        ls = jnp.concatenate([ls, jnp.full((pad,), sent, ls.dtype)])
+        z = jnp.zeros((pad,), jnp.float32)
+        r, g, b, a = (jnp.concatenate([v, z]) for v in (r, g, b, a))
+    vals = jnp.concatenate(
+        [jnp.stack([r, g, b, a]), jnp.zeros((_ROWS - 4, us_pad), jnp.float32)]
+    ).astype(vdt)
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
+    off = jnp.searchsorted(ls, bounds, side="left").astype(jnp.int32)
+    lo, hi = off[:-1], off[1:]
+    blk0 = lo // K
+    nblk = jnp.where(hi > lo, (hi - 1) // K - blk0 + 1, 0)
+    return _tile_call(blk0, nblk, ls.reshape(1, us_pad), vals, n_tiles,
+                      vdt, mxu_bf16, 1, interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_targets", "alpha_is_count", "interpret",
-                              "pack", "mxu_bf16", "sort_only", "segments")
+                              "pack", "mxu_bf16", "sort_only", "segments",
+                              "compact")
 )
 def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
                            alpha_is_count: bool = False,
@@ -167,7 +217,8 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
                            pack: str = "f32",
                            mxu_bf16: bool = False,
                            sort_only: bool = False,
-                           segments: int = 1):
+                           segments: int = 1,
+                           compact: str = "auto"):
     """Drop-in for ops.splat.scatter_add_rgba_*: lin [U] i32 targets
     (<0 or >= n_targets dropped), rgb [U,3], alpha [U] -> [n_targets, 4].
 
@@ -216,7 +267,41 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
     if pack == "rgb8e":
         if not alpha_is_count:
             raise ValueError("pack='rgb8e' requires alpha_is_count")
-        ls, p8 = jax.lax.sort([k2, _pack_rgb8e(r2, g2, b2)], num_keys=1)
+        packed = _pack_rgb8e(r2, g2, b2)
+        # --- dead-lane compaction (ops/compact.py) ---------------------
+        # Only ~15% of est-2 updates are live on the flagship configs
+        # (benchmarks/frame_attr_micro.py); compacting live updates into a
+        # static CAPACITY = U/3 prefix lets the dominant O(U log^2 U) sort
+        # run at a third of the elements.  lax.cond keeps the full-sort
+        # fallback for frames whose live count exceeds the capacity —
+        # both branches are BIT-IDENTICAL to the uncompacted path
+        # (stable partition preserves source order; the stable sort then
+        # reproduces the same per-pixel accumulation sequences).
+        from .compact import K as CK
+        from .compact import compact_live
+
+        do_compact = (compact == "on"
+                      or (compact == "auto" and not interpret))
+        cap = _round_up(max(u // 3, CK), CK)
+        if s_count == 1 and not sort_only and do_compact and cap < u:
+            ck, cp, n_live = compact_live(
+                keys, packed, n_targets, n_tiles * TILE, interpret=interpret)
+            vdt = jnp.bfloat16 if mxu_bf16 else jnp.float32
+
+            def _sort_reduce(kk, pp):
+                ls, p8 = jax.lax.sort([kk, pp], num_keys=1)
+                r, g, b = _unpack_rgb8e(p8)
+                a = jnp.where(ls < sent, 1.0, 0.0)
+                return _flat_reduce(ls, r, g, b, a, n_tiles, sent, vdt,
+                                    mxu_bf16, interpret)
+
+            out = jax.lax.cond(
+                n_live <= cap,
+                lambda: _sort_reduce(ck[:cap], cp[:cap]),
+                lambda: _sort_reduce(ck, cp),
+            )
+            return out[:4, :n_targets].T
+        ls, p8 = jax.lax.sort([k2, packed], num_keys=1)
         r, g, b = _unpack_rgb8e(p8)
         a = jnp.where(ls < sent, 1.0, 0.0)
     elif pack == "bf16" and alpha_is_count:
@@ -248,64 +333,35 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
                         + ls.reshape(-1)[0].astype(jnp.float32) ** 2, 0.0)
         return jnp.zeros((n_targets, 4), jnp.float32) + z
 
-    us_pad = _round_up(max(us, K), K)
-    pad = us_pad - us
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
     vdt = jnp.bfloat16 if mxu_bf16 else jnp.float32
     if s_count == 1:
         # flat path (the production shape): 1-D pads + 1-D searchsorted
-        if pad:
-            ls = jnp.concatenate([ls, jnp.full((pad,), sent, ls.dtype)])
-            z = jnp.zeros((pad,), jnp.float32)
-            r, g, b, a = (jnp.concatenate([v, z]) for v in (r, g, b, a))
-        vals = jnp.concatenate(
-            [jnp.stack([r, g, b, a]),
-             jnp.zeros((_ROWS - 4, us_pad), jnp.float32)]
-        ).astype(vdt)
-        off = jnp.searchsorted(ls, bounds, side="left").astype(jnp.int32)
-        lo, hi = off[:-1], off[1:]
-        blk0 = lo // K
-        nblk = jnp.where(hi > lo, (hi - 1) // K - blk0 + 1, 0)
-    else:
-        if pad:
-            ls = jnp.concatenate(
-                [ls, jnp.full((s_count, pad), sent, ls.dtype)], axis=1)
-            z = jnp.zeros((s_count, pad), jnp.float32)
-            r, g, b, a = (
-                jnp.concatenate([v, z], axis=1) for v in (r, g, b, a))
-        flat = lambda v: v.reshape(s_count * us_pad)  # noqa: E731
-        vals = jnp.concatenate(
-            [jnp.stack([flat(r), flat(g), flat(b), flat(a)]),
-             jnp.zeros((_ROWS - 4, s_count * us_pad), jnp.float32)]
-        ).astype(vdt)
-        off = jax.vmap(
-            lambda row: jnp.searchsorted(row, bounds, side="left")
-        )(ls).astype(jnp.int32)                       # [S, n_tiles+1]
-        lo, hi = off[:, :-1], off[:, 1:]
-        seg0 = (jnp.arange(s_count, dtype=jnp.int32) * (us_pad // K))[:, None]
-        blk0 = (seg0 + lo // K).T.reshape(-1)         # flat [n_tiles * S]
-        nblk = jnp.where(hi > lo, (hi - 1) // K - lo // K + 1, 0).T.reshape(-1)
+        out = _flat_reduce(ls, r, g, b, a, n_tiles, sent, vdt, mxu_bf16,
+                           interpret)
+        return out[:4, :n_targets].T
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, mxu_bf16=mxu_bf16, segments=s_count),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (_ROWS, TILE), lambda t, b0, nb: (0, t)
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, 1, K), jnp.int32),
-                pltpu.VMEM((2, _ROWS, K), vdt),
-                pltpu.SemaphoreType.DMA((2, 2)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((_ROWS, n_tiles * TILE), jnp.float32),
-        interpret=interpret,
-    )(blk0, nblk, ls.reshape(1, s_count * us_pad), vals)
+    us_pad = _round_up(max(us, K), K)
+    pad = us_pad - us
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
+    if pad:
+        ls = jnp.concatenate(
+            [ls, jnp.full((s_count, pad), sent, ls.dtype)], axis=1)
+        z = jnp.zeros((s_count, pad), jnp.float32)
+        r, g, b, a = (
+            jnp.concatenate([v, z], axis=1) for v in (r, g, b, a))
+    flat = lambda v: v.reshape(s_count * us_pad)  # noqa: E731
+    vals = jnp.concatenate(
+        [jnp.stack([flat(r), flat(g), flat(b), flat(a)]),
+         jnp.zeros((_ROWS - 4, s_count * us_pad), jnp.float32)]
+    ).astype(vdt)
+    off = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left")
+    )(ls).astype(jnp.int32)                       # [S, n_tiles+1]
+    lo, hi = off[:, :-1], off[:, 1:]
+    seg0 = (jnp.arange(s_count, dtype=jnp.int32) * (us_pad // K))[:, None]
+    blk0 = (seg0 + lo // K).T.reshape(-1)         # flat [n_tiles * S]
+    nblk = jnp.where(hi > lo, (hi - 1) // K - lo // K + 1, 0).T.reshape(-1)
 
+    out = _tile_call(blk0, nblk, ls.reshape(1, s_count * us_pad), vals,
+                     n_tiles, vdt, mxu_bf16, s_count, interpret)
     return out[:4, :n_targets].T

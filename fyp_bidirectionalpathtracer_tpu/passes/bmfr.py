@@ -247,14 +247,17 @@ def preprocess(state: BMFRState, cur_pos, cur_norm, cur_noisy, prev_view_proj,
     filt_taps = None
     if pack == "bf16":
         # combined 13-value/tap fetch incl. the postprocess's prev_filtered
-        # taps: 28 i32 cols = 2 gathers instead of pre 3 + post 1
+        # taps: 28 i32 cols = 2 gathers instead of pre 3 + post 1.  A
+        # pre-PACKED [Hh, W, 7] i32 window (sharded halo exchange ships the
+        # bf16 pairs to halve ICI bytes) is accepted directly.
         if hist is None:
             hist = jnp.concatenate(
                 [state.prev_pos[..., :3], state.prev_norm[..., :3],
                  state.prev_noisy, state.prev_filtered[..., :3]], axis=-1,
             )
         hist_h = hist.shape[0]
-        history = _pack_2x2(_pack_hist_bf16(hist))  # [Hh+1, W+1, 28] i32
+        packed7 = hist if hist.dtype == jnp.int32 else _pack_hist_bf16(hist)
+        history = _pack_2x2(packed7)  # [Hh+1, W+1, 28] i32
         taps_i = _gather_2x2(history, base, hist_h, w, y0=hist_y0)
         taps, filt_taps = _unpack_hist_bf16(taps_i)
     else:
@@ -819,15 +822,25 @@ def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig,
     pack = cfg.history_pack
     if pack == "auto":
         pack = "bf16" if jax.default_backend() == "tpu" else "f32"
-    if sharded or not (cfg.preprocess and cfg.postprocess):
-        # combined fetch needs both stages' taps on one index vector; the
-        # sharded halo windows stay on the exact f32 path
+    if not (cfg.preprocess and cfg.postprocess):
+        # the combined fetch needs both stages' taps on one index vector
         pack = "f32"
 
     filt_taps = None
     if cfg.preprocess:
         hist = None
-        if sharded:
+        if sharded and pack == "bf16":
+            # sharded bf16: pack the 13-col history into bf16x2 pairs
+            # BEFORE the halo exchange — the same combined fetch as
+            # single-chip, at half the ICI bytes (7 i32 vs 13 f32 cols)
+            hist = _extend_rows(
+                _pack_hist_bf16(jnp.concatenate(
+                    [state.prev_pos[..., :3], state.prev_norm[..., :3],
+                     state.prev_noisy, state.prev_filtered[..., :3]], -1,
+                )),
+                margin, margin, axis_name, n_shards, full_h, "zero",
+            )
+        elif sharded:
             hist = _extend_rows(
                 jnp.concatenate(
                     [state.prev_pos[..., :3], state.prev_norm[..., :3],
@@ -856,7 +869,8 @@ def bmfr_pass(state: BMFRState, channels: dict, camera, cfg: BMFRConfig,
 
     if cfg.postprocess:
         hist_f = None
-        if sharded:
+        if sharded and filt_taps is None:
+            # bf16 mode already fetched the filtered taps in preprocess
             hist_f = _extend_rows(
                 state.prev_filtered[..., :3],
                 margin, margin, axis_name, n_shards, full_h, "zero",

@@ -202,8 +202,12 @@ class BMFRConfig:
     #          accept thresholds are 0.1 position / 1.0 normal distances,
     #          and spp <= 256 is bf16-EXACT while both blend-alpha floors
     #          make spp > 10 behaviorally irrelevant).  The reference keeps
-    #          f32 history textures (DenoisePass.cpp:26-37).
-    # 'auto' — bf16 on single-chip TPU, f32 elsewhere (tests, sharded).
+    #          f32 history textures (DenoisePass.cpp:26-37).  Sharded mode
+    #          packs the 13-col history BEFORE the halo exchange, halving
+    #          ICI bytes as well (passes/bmfr.bmfr_pass).
+    # 'auto' — bf16 on TPU (single-chip AND sharded), f32 elsewhere
+    #          (tests, goldens).  Requires preprocess+postprocess both on
+    #          (the combined fetch shares one index vector); otherwise f32.
     history_pack: str = "auto"
     # multi-chip only: rows of prev-frame history exchanged across shard
     # boundaries for the reprojection taps (no reference equivalent — the

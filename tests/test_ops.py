@@ -237,3 +237,62 @@ def test_splat_tiled_segments_agree():
         pack="rgb8e", mxu_bf16=True))
     np.testing.assert_allclose(d[:, :3], r8[:, :3], rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(d[:, 3], r8[:, 3])
+
+
+def test_compact_live_preserves_source_order():
+    """ops.compact.compact_live: the compacted prefix must be exactly the
+    live (key < n_targets) subsequence in source order — per-chunk stable
+    bitonic partition + row-aligned overlapping writes with sentinel
+    filler at the <=127-element chunk seams."""
+    from fyp_bidirectionalpathtracer_tpu.ops.compact import K, compact_live
+
+    rs = np.random.RandomState(7)
+    n_targets = 2000
+    sent = 2048  # next 1024-multiple
+    for u, frac in ((2 * K, 0.15), (K + 1000, 0.5), (3 * K, 0.0)):
+        live_mask = rs.rand(u) < frac
+        keys = np.where(live_mask, rs.randint(0, n_targets, u), n_targets)
+        pay = rs.randint(-(2 ** 31), 2 ** 31 - 1, u).astype(np.int64)
+        ck, cp, n_pad = compact_live(
+            jnp.asarray(keys, jnp.int32), jnp.asarray(pay, jnp.int32),
+            n_targets, sent, interpret=True)
+        ck, cp = np.asarray(ck), np.asarray(cp)
+        n_pad = int(n_pad)
+        # every live update appears once, in source order, before n_pad
+        got = [(k, p) for k, p in zip(ck[:n_pad], cp[:n_pad])
+               if k < n_targets]
+        want = [(int(k), int(np.int32(p)))
+                for k, p in zip(keys, pay) if k < n_targets]
+        assert got == want, f"u={u} frac={frac}"
+        # everything from n_pad on is sentinel
+        assert np.all(ck[n_pad:] == sent)
+        # padded live count bounded by chunk-seam rounding
+        n_chunks = (u + K - 1) // K
+        assert len(want) <= n_pad <= len(want) + 128 * n_chunks
+
+
+def test_splat_tiled_compact_bit_identical():
+    """The compaction fast path (rgb8e + capacity-gated sort) must be
+    BIT-identical to the uncompacted tiled_rgb8e reduction — same live
+    subsequence through the same stable sort — in both the fits-capacity
+    branch and the overflow fallback branch."""
+    from fyp_bidirectionalpathtracer_tpu.ops.splat_tile import (
+        scatter_add_rgba_tiled,
+    )
+
+    rs = np.random.RandomState(11)
+    n = 2000
+    u = 3 * 8192
+    for live_frac in (0.15, 0.9):  # 0.9 > 1/3 capacity -> fallback branch
+        live = rs.rand(u) < live_frac
+        lin = jnp.asarray(
+            np.where(live, rs.randint(0, n, u), n), jnp.int32)
+        rgb = jnp.asarray(np.abs(rs.normal(size=(u, 3))), jnp.float32)
+        alpha = jnp.ones((u,), jnp.float32)
+        kw = dict(alpha_is_count=True, interpret=True, pack="rgb8e",
+                  mxu_bf16=True)
+        off = np.asarray(scatter_add_rgba_tiled(
+            lin, rgb, alpha, n, compact="off", **kw))
+        on = np.asarray(scatter_add_rgba_tiled(
+            lin, rgb, alpha, n, compact="on", **kw))
+        np.testing.assert_array_equal(off, on, err_msg=f"frac={live_frac}")

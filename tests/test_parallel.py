@@ -246,6 +246,45 @@ def test_bmfr_sharded_matches_single(n_dev, rows_per_dev):
 
 
 @pytest.mark.slow
+def test_bmfr_sharded_bf16_matches_single_bf16(n_dev):
+    """The bf16 combined history fetch (round-4 single-chip win) now runs in
+    sharded mode too, with the pack applied BEFORE the halo exchange
+    (passes/bmfr.bmfr_pass).  Sharded bf16 must reproduce single-chip bf16
+    exactly up to fp rounding — both quantize the identical history values,
+    so the halo plumbing is the only difference under test."""
+    from fyp_bidirectionalpathtracer_tpu.passes import bmfr
+    from fyp_bidirectionalpathtracer_tpu.utils.config import BMFRConfig
+
+    rows_per_dev = 16
+    h = n_dev * rows_per_dev
+    w = 96
+    cfg = BMFRConfig(
+        enabled=True, preprocess=True, regression=True, postprocess=True,
+        half_screen_debug=False, history_pack="bf16",
+    )
+    mesh = sharding.make_mesh(n_dev)
+    step = _sharded_bmfr_step(cfg, mesh, n_dev, h)
+
+    import types
+
+    state_ref = bmfr.BMFRState.create(h, w)
+    state_sh = bmfr.BMFRState.create(h, w)
+    for frame in range(3):
+        channels, pvp = _bmfr_frame_inputs(h, w, frame, shift_rows=1 + frame)
+        cam = types.SimpleNamespace(prev_view_proj=pvp)
+        state_ref, out_ref = bmfr.bmfr_pass(state_ref, channels, cam, cfg)
+        state_sh, out_sh = step(state_sh, channels, pvp)
+        np.testing.assert_allclose(
+            np.asarray(out_ref), np.asarray(out_sh), atol=1e-5,
+            err_msg=f"frame {frame}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(state_ref.prev_filtered),
+        np.asarray(state_sh.prev_filtered), atol=1e-5,
+    )
+
+
+@pytest.mark.slow
 def test_sharded_wavefront_matches_single(n_dev):
     """shard_map wavefront step (Pallas-capable path) must reproduce the
     single-chip wavefront frame: global-pixel RNG seeds, global estimator-2
