@@ -23,7 +23,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
                warmup: int = 3, iters: int = 10,
                sort_bounces: bool | None = None,
                const_scene: bool = False,
-               bounce_tex_mean: bool = False) -> dict:
+               bounce_tex_mean: bool = False,
+               parallel_subpaths: bool = False) -> dict:
     from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
     from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
         BDPT_FRAME_INIT,
@@ -38,6 +39,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
     overrides = {} if sort_bounces is None else {"sort_bounces": sort_bounces}
     if bounce_tex_mean:
         overrides["bounce_tex_mean"] = True
+    if parallel_subpaths:
+        overrides["parallel_subpaths"] = True
     cfg = RenderConfig(width=width, height=height,
                        bdpt=BDPTConfig(max_depth=depth, **overrides))
     scene = load_scene(name)
@@ -78,7 +81,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
     return {"scene": name, "ms_per_frame": round(dt * 1e3, 2),
             "tris": tris, "resolution": f"{width}x{height}", "depth": depth,
             "sort_bounces": sort_bounces, "const_scene": const_scene,
-            "bounce_tex_mean": bounce_tex_mean}
+            "bounce_tex_mean": bounce_tex_mean,
+            "parallel_subpaths": parallel_subpaths}
 
 
 def main():
@@ -90,13 +94,15 @@ def main():
                    default=None)  # None = production default
     p.add_argument("--const-scene", action="store_true")
     p.add_argument("--bounce-mean", action="store_true")
+    p.add_argument("--parallel-subpaths", action="store_true")
     args = p.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     for name in args.scenes or ["textured"]:
         print(json.dumps(time_scene(name, w, h, args.depth,
                                     sort_bounces=args.sort_bounces,
                                     const_scene=args.const_scene,
-                                    bounce_tex_mean=args.bounce_mean)),
+                                    bounce_tex_mean=args.bounce_mean,
+                                    parallel_subpaths=args.parallel_subpaths)),
               flush=True)
 
 

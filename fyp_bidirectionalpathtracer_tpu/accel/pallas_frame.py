@@ -544,7 +544,7 @@ def frame_kernel(
     bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
     enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens,
-    textured=False,
+    textured=False, connection_weight="uniform",
 ):
     shape = (S, LANE)
     n_pix = width * height
@@ -823,6 +823,51 @@ def frame_kernel(
 
     # --- estimator 3: s,t connections (BDPTMain:212-233) ---
     e3_pairs = e3_pair_list(d_max, enable_e3)
+
+    # corrected MIS (passes.bdpt._connection_weight: the intent of the
+    # reference's dead getWeightPower/getWeightLinear, BDPTUtils.hlsli
+    # :226-278, comma bug fixed): per-lane log-pdf chains of both subpaths,
+    # shared across every (s,t) pair, then a max-subtracted softmax over
+    # the splits of each total length.  Only the camera/light-path pdf and
+    # geometry tiles feed it — no extra traces.
+    if connection_weight != "uniform" and e3_pairs:
+        mis_power = 2.0 if connection_weight == "power" else 1.0
+
+        def _log_pdf_g(a, b):
+            vec = _sub3(b["pos"], a["pos"])
+            d2 = jnp.maximum(_dot3(vec, vec), 1e-30)
+            dn = _scale3(vec, jax.lax.rsqrt(d2))
+
+            def cosf(vtx):
+                degenerate = _dot3(vtx["n"], vtx["n"]) < 0.5
+                return jnp.where(degenerate, 1.0, jnp.abs(_dot3(vtx["n"], dn)))
+
+            return (jnp.log(jnp.maximum(cosf(a) * cosf(b), 0.0))
+                    - jnp.log(d2))
+
+        def _cum_logpdf(path):
+            lp = [jnp.log(jnp.maximum(path[0]["pdf"], 0.0))]
+            for x in range(1, d_max + 1):
+                lp.append(lp[-1]
+                          + jnp.log(jnp.maximum(path[x]["pdf"], 0.0))
+                          + _log_pdf_g(path[x - 1], path[x]))
+            return lp
+
+        lc = _cum_logpdf(cam_path)
+        ll = _cum_logpdf(light_path)
+
+        def _mis_weight(sx, tx, total_len):
+            terms = [lc[i] + ll[total_len - i]
+                     for i in range(0, total_len + 1)
+                     if i <= d_max and (total_len - i) <= d_max]
+            cur = lc[sx] + ll[tx]
+            m = terms[0]
+            for tterm in terms[1:]:
+                m = jnp.maximum(m, tterm)
+            denom = sum(jnp.exp(mis_power * (tt - m)) for tt in terms)
+            w = jnp.exp(mis_power * (cur - m)) / jnp.maximum(denom, 1e-30)
+            finite = (cur == cur) & (cur > -_BIG) & (cur < _BIG)
+            return jnp.where(finite, w, 0.0)
     e3_rows = []  # textured: per-pair raw shade rgb + visibility mask
     for total_len, sx, tx in e3_pairs:
         vec = _sub3(light_path[tx]["pos"], cam_path[sx]["pos"])
@@ -867,9 +912,12 @@ def frame_kernel(
                 for al, fl, fe, ae in zip(a_l, fs_l, fs_e, a_e)
             )
             if not textured:
-                shade = _clamp3(
-                    _scale3(shade, 1.0 / float(total_len)), clamp_upper
-                )
+                if connection_weight != "uniform":
+                    w = _mis_weight(sx, tx, total_len)
+                    shade = tuple(c * w for c in shade)
+                else:
+                    shade = _scale3(shade, 1.0 / float(total_len))
+                shade = _clamp3(shade, clamp_upper)
                 shade = _nan_guard3(shade)
         else:
             shade = (zero_t, zero_t, zero_t)
@@ -1013,14 +1061,14 @@ def out_rows(d_max: int, enable_e2: bool, emit_gbuffer: bool,
     "bounds", "n_tris", "l_pad", "width", "height", "sub_pixels", "d_max",
     "mat_model", "faithful_rng", "reference_quirks", "min_t", "clamp_upper",
     "enable_e1", "enable_e2", "enable_e3", "emit_gbuffer", "use_thin_lens",
-    "textured", "interpret",
+    "textured", "connection_weight", "interpret",
 ))
 def _launch_frame(
     scal, iscal, light_rows, ndc, tri_pack,
     bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
     enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens, textured,
-    interpret,
+    connection_weight, interpret,
 ):
     n_pad = ((sub_pixels + S * LANE - 1) // (S * LANE)) * (S * LANE)
     n_cols = n_pad // LANE
@@ -1035,6 +1083,7 @@ def _launch_frame(
         clamp_upper=clamp_upper, enable_e1=enable_e1, enable_e2=enable_e2,
         enable_e3=enable_e3, emit_gbuffer=emit_gbuffer,
         use_thin_lens=use_thin_lens, textured=textured,
+        connection_weight=connection_weight,
     )
     return pl.pallas_call(
         kernel,
@@ -1100,7 +1149,10 @@ def supports_megakernel(baked, cfg, max_tris: int = 2048) -> bool:
         and tuple(data.env_map.shape[:2]) == (1, 1)
         and tex_ok
         and not getattr(baked, "has_alpha", False)
-        and cfg.bdpt.connection_weight == "uniform"
+        # corrected MIS runs in-kernel for untextured scenes (round 5);
+        # the textured replay's post-kernel clamp bakes 1/totalLength, so
+        # deferred-texture scenes still require uniform weighting
+        and (cfg.bdpt.connection_weight == "uniform" or untextured)
         and cfg.bdpt.max_depth >= 1
     )
 
@@ -1307,7 +1359,8 @@ def _frame_out(
         bcfg.mat_model, bcfg.faithful_rng, bcfg.reference_quirks,
         float(bcfg.min_t), float(bcfg.clamp_upper),
         bcfg.enable_path_tracing, bcfg.enable_light_tracing,
-        bcfg.enable_connections, True, use_thin_lens, textured, interpret,
+        bcfg.enable_connections, True, use_thin_lens, textured,
+        bcfg.connection_weight, interpret,
     )
     return out, n_sub, n_pix, sub_h, textured, pix0
 

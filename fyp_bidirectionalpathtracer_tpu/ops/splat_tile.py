@@ -116,6 +116,114 @@ def _exp2i(e):
         ((e + 127) << 23).astype(jnp.int32), jnp.float32)
 
 
+def _kernel_packed(blk0_ref, nblk_ref, keys_ref, pay_ref, out_ref,
+                   kbuf, pbuf, sems, *, sent: int, mxu_bf16: bool):
+    """rgb8e payload-direct tile kernel: consumes the sorted [1, U] i32
+    rgb8e payload column DIRECTLY and unpacks mantissas in-register —
+    no XLA-side decode passes, no [8, U] vals materialization (the bf16
+    vals array plus ~6 decode passes cost ~0.5 ms/frame at 720p).  The
+    alpha-count row is (key < sent) recomputed from the key buffer."""
+    t = pl.program_id(0)
+    base = t * TILE
+    out_ref[:] = jnp.zeros((_ROWS, TILE), jnp.float32)
+    b0 = blk0_ref[t]
+    nb = nblk_ref[t]
+
+    def copies(slot, blk):
+        off = blk * K
+        return (
+            pltpu.make_async_copy(
+                keys_ref.at[:, pl.ds(off, K)], kbuf.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                pay_ref.at[:, pl.ds(off, K)], pbuf.at[slot], sems.at[slot, 1]
+            ),
+        )
+
+    @pl.when(nb > 0)
+    def _():
+        for c in copies(0, b0):
+            c.start()
+
+        def body(i, _):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < nb)
+            def _():
+                for c in copies(1 - slot, b0 + i + 1):
+                    c.start()
+
+            for c in copies(slot, b0 + i):
+                c.wait()
+            keys = kbuf[slot]                     # [1, K] i32
+            p = pbuf[slot]                        # [1, K] i32 rgb8e
+            e = ((p >> 24) & 0x1F) - 16
+            inv = _exp2i(e - 8)
+            r = (p & 0xFF).astype(jnp.float32) * inv
+            g = ((p >> 8) & 0xFF).astype(jnp.float32) * inv
+            b = ((p >> 16) & 0xFF).astype(jnp.float32) * inv
+            a = (keys < sent).astype(jnp.float32)
+            z = jnp.zeros((4, K), jnp.float32)
+            vals = jnp.concatenate([r, g, b, a, z], axis=0)  # [8, K]
+            cols = base + jax.lax.broadcasted_iota(jnp.int32, (K, TILE), 1)
+            if mxu_bf16:
+                # rgb8e decode is bf16-exact (8-bit mantissa, pow2 scale)
+                onehot = (keys.reshape(K, 1) == cols).astype(jnp.bfloat16)
+                out_ref[:] += jax.lax.dot_general(
+                    vals.astype(jnp.bfloat16), onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                onehot = (keys.reshape(K, 1) == cols).astype(jnp.float32)
+                out_ref[:] += jax.lax.dot_general(
+                    vals, onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
+
+
+def _flat_reduce_packed(ls, p8, n_tiles, sent, mxu_bf16, interpret):
+    """Pad + covering-block ranges + payload-direct tile kernel for a flat
+    sorted (keys, rgb8e-payload) run."""
+    us = ls.shape[0]
+    us_pad = _round_up(max(us, K), K)
+    pad = us_pad - us
+    if pad:
+        ls = jnp.concatenate([ls, jnp.full((pad,), sent, ls.dtype)])
+        p8 = jnp.concatenate([p8, jnp.zeros((pad,), p8.dtype)])
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE
+    off = jnp.searchsorted(ls, bounds, side="left").astype(jnp.int32)
+    lo, hi = off[:-1], off[1:]
+    blk0 = lo // K
+    nblk = jnp.where(hi > lo, (hi - 1) // K - blk0 + 1, 0)
+    return pl.pallas_call(
+        functools.partial(_kernel_packed, sent=int(sent), mxu_bf16=mxu_bf16),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (_ROWS, TILE), lambda t, b0, nb: (0, t)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.VMEM((2, 1, K), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, n_tiles * TILE), jnp.float32),
+        interpret=interpret,
+    )(blk0, nblk, ls.reshape(1, us_pad), p8.reshape(1, us_pad))
+
+
 def _pack_rgb8e(r, g, b):
     """Non-negative (r,g,b) -> one i32: 3x8-bit shared-exponent mantissas +
     5-bit exponent (bits 24:29).  With e = floor(log2(max))+1 every mantissa
@@ -286,20 +394,34 @@ def scatter_add_rgba_tiled(lin, rgb, alpha, n_targets: int,
         if s_count == 1 and not sort_only and do_compact and cap < u:
             ck, cp, n_live = compact_live(
                 keys, packed, n_targets, n_tiles * TILE, interpret=interpret)
-            vdt = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
             def _sort_reduce(kk, pp):
                 ls, p8 = jax.lax.sort([kk, pp], num_keys=1)
-                r, g, b = _unpack_rgb8e(p8)
-                a = jnp.where(ls < sent, 1.0, 0.0)
-                return _flat_reduce(ls, r, g, b, a, n_tiles, sent, vdt,
-                                    mxu_bf16, interpret)
+                return _flat_reduce_packed(ls, p8, n_tiles, n_tiles * TILE,
+                                           mxu_bf16, interpret)
 
-            out = jax.lax.cond(
-                n_live <= cap,
-                lambda: _sort_reduce(ck[:cap], cp[:cap]),
-                lambda: _sort_reduce(ck, cp),
-            )
+            # capacity ladder: the sort is O(C log^2 C), so try the
+            # tightest static prefix first (est-2 live fraction measured
+            # ~15%, i.e. ~U/6.3 after chunk-seam padding); every rung is
+            # bit-identical (same live subsequence, same stable sort)
+            caps = sorted({_round_up(max(u // 6, CK), CK), cap})
+
+            def ladder(rungs):
+                if not rungs:
+                    return _sort_reduce(ck, cp)
+                c0 = rungs[0]
+                return jax.lax.cond(
+                    n_live <= c0,
+                    lambda: _sort_reduce(ck[:c0], cp[:c0]),
+                    lambda: ladder(rungs[1:]),
+                )
+
+            out = ladder(caps)
+            return out[:4, :n_targets].T
+        if s_count == 1 and not sort_only:
+            ls, p8 = jax.lax.sort([k2, packed], num_keys=1)
+            out = _flat_reduce_packed(ls, p8, n_tiles, n_tiles * TILE,
+                                      mxu_bf16, interpret)
             return out[:4, :n_targets].T
         ls, p8 = jax.lax.sort([k2, packed], num_keys=1)
         r, g, b = _unpack_rgb8e(p8)

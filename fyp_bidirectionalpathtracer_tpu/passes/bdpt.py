@@ -367,30 +367,82 @@ def bdpt_pass(
 
     payload = init_payload(world_pos, out_dir, hit_thp, seed)
     payload = payload.replace(terminated=~valid)  # background lanes inert
-    for depth in range(1, d_max):
-        was_active = ~payload.terminated
-        if not cfg.debug_stub_extensions:
-            payload = shoot_ray(payload, trace, cfg, coherent=False)
-        camera_path[depth + 1] = payload.vertex().where(was_active, zeros_vert)
-    seed = payload.seed
 
-    # ---------------- light subpath ----------------
-    seed, l_origin, l_dir, l_intensity = sample_light(seed, lights)
-    light_path = [zeros_vert] * n_verts
-    light_path[0] = PathVertex.zeros(shape).replace(
-        pos=l_origin, color=l_intensity,
-        pdf_fwd=jnp.full(shape, 1.0, jnp.float32) / lights.count.astype(jnp.float32),
-    )
-    take = [jnp.ones(shape, bool)] * n_verts
-    lpayload = init_payload(l_origin, l_dir, l_intensity, seed)
-    lpayload = lpayload.replace(terminated=~valid)
-    for depth in range(0, d_max):
-        was_active = ~lpayload.terminated
-        if not cfg.debug_stub_extensions:
-            lpayload = shoot_ray(lpayload, trace, cfg, coherent=False)
-        light_path[depth + 1] = lpayload.vertex().where(was_active, zeros_vert)
-        take[depth + 1] = jnp.where(was_active, ~lpayload.terminated, take[depth + 1])
-    seed = lpayload.seed
+    if cfg.parallel_subpaths:
+        # Independent light-subpath RNG stream (salted frame id) decouples
+        # the two chains so their extension traces can merge into one
+        # 2x-wavefront per bounce depth — see
+        # utils.config.BDPTConfig.parallel_subpaths for the deviation note.
+        seed_l = rng.pixel_seeds(
+            width, g_height,
+            jnp.asarray(frame_count).astype(jnp.uint32)
+            ^ jnp.uint32(0x9E3779B9),
+            row0=g_row0, sub_height=height,
+        )
+        seed_l, l_origin, l_dir, l_intensity = sample_light(seed_l, lights)
+        light_path = [zeros_vert] * n_verts
+        light_path[0] = PathVertex.zeros(shape).replace(
+            pos=l_origin, color=l_intensity,
+            pdf_fwd=jnp.full(shape, 1.0, jnp.float32)
+            / lights.count.astype(jnp.float32),
+        )
+        take = [jnp.ones(shape, bool)] * n_verts
+        lpayload = init_payload(l_origin, l_dir, l_intensity, seed_l)
+        lpayload = lpayload.replace(terminated=~valid)
+        for depth in range(0, d_max):
+            do_cam = 1 <= depth <= d_max - 1
+            was_active_l = ~lpayload.terminated
+            if do_cam:
+                was_active_c = ~payload.terminated
+            if not cfg.debug_stub_extensions:
+                if do_cam:
+                    merged = jax.tree_util.tree_map(
+                        lambda a, b: jnp.stack([a, b]), payload, lpayload
+                    )
+                    merged = shoot_ray(merged, trace, cfg, coherent=False)
+                    payload = jax.tree_util.tree_map(lambda x: x[0], merged)
+                    lpayload = jax.tree_util.tree_map(lambda x: x[1], merged)
+                else:
+                    lpayload = shoot_ray(lpayload, trace, cfg, coherent=False)
+            if do_cam:
+                camera_path[depth + 1] = payload.vertex().where(
+                    was_active_c, zeros_vert)
+            light_path[depth + 1] = lpayload.vertex().where(
+                was_active_l, zeros_vert)
+            take[depth + 1] = jnp.where(
+                was_active_l, ~lpayload.terminated, take[depth + 1])
+        # estimator picks continue the camera chain (a fresh stream either
+        # way relative to the reference; the light chain stays private)
+        seed = payload.seed
+    else:
+        for depth in range(1, d_max):
+            was_active = ~payload.terminated
+            if not cfg.debug_stub_extensions:
+                payload = shoot_ray(payload, trace, cfg, coherent=False)
+            camera_path[depth + 1] = payload.vertex().where(
+                was_active, zeros_vert)
+        seed = payload.seed
+
+        # ---------------- light subpath ----------------
+        seed, l_origin, l_dir, l_intensity = sample_light(seed, lights)
+        light_path = [zeros_vert] * n_verts
+        light_path[0] = PathVertex.zeros(shape).replace(
+            pos=l_origin, color=l_intensity,
+            pdf_fwd=jnp.full(shape, 1.0, jnp.float32)
+            / lights.count.astype(jnp.float32),
+        )
+        take = [jnp.ones(shape, bool)] * n_verts
+        lpayload = init_payload(l_origin, l_dir, l_intensity, seed)
+        lpayload = lpayload.replace(terminated=~valid)
+        for depth in range(0, d_max):
+            was_active = ~lpayload.terminated
+            if not cfg.debug_stub_extensions:
+                lpayload = shoot_ray(lpayload, trace, cfg, coherent=False)
+            light_path[depth + 1] = lpayload.vertex().where(
+                was_active, zeros_vert)
+            take[depth + 1] = jnp.where(
+                was_active, ~lpayload.terminated, take[depth + 1])
+        seed = lpayload.seed
 
     # ---------------- accumulate ----------------
     out = jnp.zeros(shape + (4,), jnp.float32)

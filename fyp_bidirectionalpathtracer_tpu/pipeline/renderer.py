@@ -70,15 +70,17 @@ def render_frame_fn(
     )
     if (not use_mk and mk == "auto" and jax.default_backend() == "tpu"
             and cfg.bdpt.connection_weight != "uniform"):
-        # corrected MIS is outside the megakernel's static scope
-        # (accel/pallas_frame docstring) — say so instead of silently
-        # routing to the ~2x-slower wavefront (VERDICT r3 weak-5)
+        # corrected MIS runs in-kernel for untextured scenes (round 5);
+        # only deferred-TEXTURE scenes still fall back to the wavefront
+        # (their replay bakes the uniform 1/totalLength into the
+        # post-kernel clamp) — say so instead of silently routing
         import logging
 
         logging.getLogger(__name__).warning(
-            "connection_weight=%r routes this frame to the per-bounce "
-            "wavefront (megakernel supports 'uniform' only); expect ~2x "
-            "the megakernel frame time", cfg.bdpt.connection_weight,
+            "connection_weight=%r on a textured scene routes this frame "
+            "to the per-bounce wavefront (the deferred-texture megakernel "
+            "supports 'uniform' only); expect ~2x the megakernel frame "
+            "time", cfg.bdpt.connection_weight,
         )
     if use_mk:
         channels, frame_img = render_frame_megakernel(

@@ -127,6 +127,24 @@ class BDPTConfig:
     # grazing hits (same open interval (min_t, dist) tested from the other
     # end); est-3 connection rays keep their orientation either way.
     reverse_shadows: bool = False
+    # Trace the camera and light subpath extension wavefronts TOGETHER:
+    # per bounce depth, the camera-ext and light-ext rays merge into ONE
+    # direction-sorted 2x-wavefront (5 divergent closest traces -> 3),
+    # amortizing the per-trace sort/launch glue AND tightening the
+    # direction-sort cells (same 1024-ray cells over twice the rays =
+    # roughly half the direction spread per cell -> shorter exact cluster
+    # shortlists; the win the round-4 sub-cell experiment was after,
+    # without its sublane-padding tax).  DEVIATION: the reference threads
+    # ONE sequential RNG through camera-then-light subpaths per pixel
+    # (BDPTMain.rt.hlsl:73-145); merging the traces requires the light
+    # subpath to draw from an INDEPENDENT stream (TEA-seeded with a
+    # salted frame id), so per-sample noise differs from the reference's
+    # while every estimator expectation is unchanged (statistically
+    # identical Monte Carlo; tests/test_features.py pins converged-mean
+    # agreement).  Default OFF: bit-comparable sequences are the parity
+    # baseline (PARITY.md); flip on for production throughput on divergent
+    # -heavy scenes (pink_room, measured round 5 in BASELINE.md).
+    parallel_subpaths: bool = False
     # --- timing-attribution stubs (NEVER for rendering; both break the
     # image).  debug_stub_shadows short-circuits every estimator visibility
     # query to "visible"; debug_stub_extensions skips the subpath extension

@@ -76,6 +76,36 @@ def test_connection_weight_modes(weight):
     assert out[..., :3].mean() > 0.01
 
 
+@pytest.mark.slow
+def test_parallel_subpaths_statistically_equivalent():
+    """parallel_subpaths (merged cam/light extension traces on an
+    independent light-RNG stream) changes the noise, not the estimator:
+    accumulated images from both modes must converge to the same means
+    (utils.config.BDPTConfig.parallel_subpaths deviation note)."""
+    baked = Scene.from_built(cornell_box(), aspect=1.0).bake()
+    outs = {}
+    for par in (False, True):
+        cfg = RenderConfig(
+            width=SIZE, height=SIZE,
+            bdpt=BDPTConfig(megakernel="off", parallel_subpaths=par),
+        )
+        r = Renderer(baked, cfg)
+        outs[par] = np.asarray(r.render(24))[..., :3]
+    a, b = outs[False], outs[True]
+    assert np.isfinite(b).all()
+    # different streams -> pixels differ...
+    assert np.abs(a - b).max() > 1e-4
+    # ...but the estimate is the same: overall mean and per-region means
+    assert abs(a.mean() - b.mean()) < 0.015
+    h = a.shape[0] // 2
+    w = a.shape[1] // 2
+    for sl in ((slice(None, h), slice(None, w)),
+               (slice(None, h), slice(w, None)),
+               (slice(h, None), slice(None, w)),
+               (slice(h, None), slice(w, None))):
+        assert abs(a[sl].mean() - b[sl].mean()) < 0.03
+
+
 def test_animated_camera_path_render():
     import os
 

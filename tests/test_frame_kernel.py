@@ -76,9 +76,11 @@ def test_megakernel_matches_wavefront_default(cornell):
         BDPTConfig(mat_model=1),
         BDPTConfig(faithful_rng=True),
         BDPTConfig(reference_quirks=False),
+        BDPTConfig(connection_weight="power"),
+        BDPTConfig(connection_weight="balance", reference_quirks=False),
     ],
     ids=["e1-only", "no-e3", "no-e2", "depth2", "lambertian",
-         "faithful-rng", "no-quirks"],
+         "faithful-rng", "no-quirks", "power-mis", "balance-mis"],
 )
 @pytest.mark.slow
 def test_megakernel_matches_wavefront_variants(cornell, bcfg):
