@@ -67,12 +67,13 @@ def main():
     def ok_fracs(frame):
         jitter = gbuffer_mod.pixel_jitter_for_frame(
             frame, cfg0.gbuffer.jitter_mode)
-        out, n_sub, n_pix, sub_h, _, _ = pf._frame_out(
+        out, n_sub, n_pix, sub_h, _, _, packed = pf._frame_out(
             baked, W, H, frame, jitter, cfg0)
+        stride = 2 if packed else 5
         fr = []
         for i in range(DEPTH):
-            ok = out[4 + 5 * i + 4].reshape(-1)[:n_sub]
-            fr.append(jnp.mean(ok))
+            pix = out[4 + stride * i].reshape(-1)[:n_sub]
+            fr.append(jnp.mean((pix < n_pix).astype(jnp.float32)))
         return jnp.stack(fr)
 
     fr = [round(float(x), 4) for x in ok_fracs(jnp.uint32(BDPT_FRAME_INIT))]

@@ -146,6 +146,20 @@ def _acos_approx(x):
     return jnp.where(x >= 0.0, p, M_PI - p)
 
 
+def _pack_rgb8e_tiles(r, g, b):
+    """ops.splat_tile._pack_rgb8e on [S,128] tiles: non-negative rgb ->
+    one i32 (3x8-bit shared-exponent mantissas + 5-bit exponent).  Inputs
+    are post-clamp estimator-2 shades (non-negative by construction)."""
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    eb = (pltpu.bitcast(mx, jnp.int32) >> 23) & 0xFF
+    e = jnp.clip(eb - 126, -16, 15)
+    scale = pltpu.bitcast(((8 - e + 127) << 23).astype(jnp.int32),
+                          jnp.float32)
+    q = lambda c: jnp.clip(  # noqa: E731
+        jnp.round(c * scale), 0.0, 255.0).astype(jnp.int32)
+    return q(r) | (q(g) << 8) | (q(b) << 16) | ((e + 16) << 24)
+
+
 def _tea16(v0, v1):
     """16-round TEA hash on uint32 tiles (BDPTUtils.hlsli:91-103)."""
     s0 = jnp.zeros_like(v0)
@@ -544,7 +558,7 @@ def frame_kernel(
     bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
     enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens,
-    textured=False, connection_weight="uniform",
+    textured=False, connection_weight="uniform", splat_rgb8e=False,
 ):
     shape = (S, LANE)
     n_pix = width * height
@@ -976,10 +990,23 @@ def frame_kernel(
         ok = active2 & in_range
         pix = jnp.where(ok, iy * width + ix, n_pix).astype(jnp.float32)
         splat_rows.append(pix)
-        splat_rows.append(jnp.where(ok, shade[0], 0.0))
-        splat_rows.append(jnp.where(ok, shade[1], 0.0))
-        splat_rows.append(jnp.where(ok, shade[2], 0.0))
-        splat_rows.append(ok.astype(jnp.float32))
+        if splat_rgb8e:
+            # pack the update payload IN-KERNEL (2 rows/depth instead of
+            # 5): the downstream rgb8e splat consumes [pix, packed]
+            # directly (ops.splat.scatter_add_rgba_prepacked) — no XLA
+            # -side pack passes, 9 fewer kernel output rows at d=3.
+            # Bit-identical to packing host-side (same _pack_rgb8e math).
+            packed = _pack_rgb8e_tiles(
+                jnp.where(ok, shade[0], 0.0),
+                jnp.where(ok, shade[1], 0.0),
+                jnp.where(ok, shade[2], 0.0),
+            )
+            splat_rows.append(pltpu.bitcast(packed, jnp.float32))
+        else:
+            splat_rows.append(jnp.where(ok, shade[0], 0.0))
+            splat_rows.append(jnp.where(ok, shade[1], 0.0))
+            splat_rows.append(jnp.where(ok, shade[2], 0.0))
+            splat_rows.append(ok.astype(jnp.float32))
 
     # background early-out wrote (env, 1) (BDPTMain:62-66)
     if textured:
@@ -1046,8 +1073,9 @@ def e3_pair_list(d_max: int, enable_e3: bool):
 
 def out_rows(d_max: int, enable_e2: bool, emit_gbuffer: bool,
              textured: bool = False, enable_e1: bool = True,
-             enable_e3: bool = True) -> int:
-    r = 4 + (5 * d_max if enable_e2 else 0) + (
+             enable_e3: bool = True, splat_rgb8e: bool = False) -> int:
+    per_depth = 2 if splat_rgb8e else 5
+    r = 4 + (per_depth * d_max if enable_e2 else 0) + (
         N_GBUF_ROWS if emit_gbuffer else 0
     )
     if textured:
@@ -1061,19 +1089,19 @@ def out_rows(d_max: int, enable_e2: bool, emit_gbuffer: bool,
     "bounds", "n_tris", "l_pad", "width", "height", "sub_pixels", "d_max",
     "mat_model", "faithful_rng", "reference_quirks", "min_t", "clamp_upper",
     "enable_e1", "enable_e2", "enable_e3", "emit_gbuffer", "use_thin_lens",
-    "textured", "connection_weight", "interpret",
+    "textured", "connection_weight", "splat_rgb8e", "interpret",
 ))
 def _launch_frame(
     scal, iscal, light_rows, ndc, tri_pack,
     bounds, n_tris, l_pad, width, height, sub_pixels, d_max, mat_model,
     faithful_rng, reference_quirks, min_t, clamp_upper,
     enable_e1, enable_e2, enable_e3, emit_gbuffer, use_thin_lens, textured,
-    connection_weight, interpret,
+    connection_weight, splat_rgb8e, interpret,
 ):
     n_pad = ((sub_pixels + S * LANE - 1) // (S * LANE)) * (S * LANE)
     n_cols = n_pad // LANE
     r_out = out_rows(d_max, enable_e2, emit_gbuffer, textured, enable_e1,
-                     enable_e3)
+                     enable_e3, splat_rgb8e)
     kernel = functools.partial(
         frame_kernel,
         bounds=bounds, n_tris=n_tris, l_pad=l_pad, width=width, height=height,
@@ -1083,7 +1111,7 @@ def _launch_frame(
         clamp_upper=clamp_upper, enable_e1=enable_e1, enable_e2=enable_e2,
         enable_e3=enable_e3, emit_gbuffer=emit_gbuffer,
         use_thin_lens=use_thin_lens, textured=textured,
-        connection_weight=connection_weight,
+        connection_weight=connection_weight, splat_rgb8e=splat_rgb8e,
     )
     return pl.pallas_call(
         kernel,
@@ -1292,7 +1320,10 @@ def _frame_out(
     packing plus the one pallas_call.  Split out so benchmarks can time the
     raw field-row output and the deferred-texture replay separately
     (benchmarks/replay_micro.py).  Returns
-    (out [rows, ...], n_sub, n_pix, sub_h, textured, pix0)."""
+    (out [rows, ...], n_sub, n_pix, sub_h, textured, pix0, splat_packed);
+    splat_packed=True means est-2 splat rows are the 2-row/depth
+    [pix_f32, rgb8e_i32_bitcast] layout (packed IN-kernel; consumed by
+    ops.splat.scatter_add_rgba_prepacked)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     data = baked.data
@@ -1352,6 +1383,13 @@ def _frame_out(
         else ndc_rows
     )
 
+    # kernel-side rgb8e packing whenever the downstream splat would pack
+    # anyway (splat_mode auto resolves to tiled_rgb8e on TPU; an explicit
+    # tiled_rgb8e engages it under interpret for the CPU parity tests)
+    splat_packed = (not textured) and bcfg.enable_light_tracing and (
+        bcfg.splat_mode == "tiled_rgb8e"
+        or (bcfg.splat_mode == "auto" and jax.default_backend() == "tpu")
+    )
     out = _launch_frame(
         scal, iscal, light_rows, ndc, tri_pack,
         bounds, int(baked.tris.v0.shape[0]), l_pad, width, height, n_sub,
@@ -1360,9 +1398,9 @@ def _frame_out(
         float(bcfg.min_t), float(bcfg.clamp_upper),
         bcfg.enable_path_tracing, bcfg.enable_light_tracing,
         bcfg.enable_connections, True, use_thin_lens, textured,
-        bcfg.connection_weight, interpret,
+        bcfg.connection_weight, splat_packed, interpret,
     )
-    return out, n_sub, n_pix, sub_h, textured, pix0
+    return out, n_sub, n_pix, sub_h, textured, pix0, splat_packed
 
 
 def render_frame_megakernel(
@@ -1394,7 +1432,7 @@ def render_frame_megakernel(
     if axis_name is None and (sub_height is not None
                               and sub_height != height):
         raise ValueError("sub_height without axis_name is unsupported")
-    out, n_sub, n_pix, sub_h, textured, pix0 = _frame_out(
+    out, n_sub, n_pix, sub_h, textured, pix0, splat_packed = _frame_out(
         baked, width, height, bdpt_frame, pixel_jitter, cfg,
         tri_pack=tri_pack, interpret=interpret, sub_height=sub_height,
         pixel_offset=pixel_offset, ndc_rows=ndc_rows, gbuf_frame=gbuf_frame,
@@ -1421,6 +1459,20 @@ def render_frame_megakernel(
             )
             rgb = jnp.concatenate([s[1] for s in tex_splats], 0)
             a = jnp.concatenate([s[2] for s in tex_splats])
+        elif splat_packed:
+            # 2-row/depth layout: [pix_f32, rgb8e_i32_bitcast] straight
+            # into the prepacked rgb8e splat (no XLA-side pack passes)
+            lin_all, pay_all = [], []
+            for i in range(d_max):
+                base = 4 + 2 * i
+                rows = out[base:base + 2].reshape(2, -1)[:, :n_sub]
+                lin_all.append(rows[0].astype(jnp.int32))
+                pay_all.append(
+                    jax.lax.bitcast_convert_type(rows[1], jnp.int32))
+            splat_flat = splat_mod.scatter_add_rgba_prepacked(
+                jnp.concatenate(lin_all), jnp.concatenate(pay_all), n_pix,
+                interpret=jax.default_backend() != "tpu",
+            )
         else:
             lin_all, r_all, g_all, b_all, a_all = [], [], [], [], []
             for i in range(d_max):
@@ -1437,11 +1489,12 @@ def render_frame_megakernel(
                 jnp.concatenate(b_all),
             ], -1)
             a = jnp.concatenate(a_all)
-        splat_flat = splat_mod.scatter_add_rgba(
-            bcfg.splat_mode, lin, rgb, a, n_pix, alpha_is_count=True,
-            segments=(len(tex_splats) if textured else d_max)
-            if bcfg.splat_segments else 1,
-        )
+        if not splat_packed or textured:
+            splat_flat = splat_mod.scatter_add_rgba(
+                bcfg.splat_mode, lin, rgb, a, n_pix, alpha_is_count=True,
+                segments=(len(tex_splats) if textured else d_max)
+                if bcfg.splat_segments else 1,
+            )
         if axis_name is not None:
             # the one cross-chip collective: reduce splat images over ICI,
             # then keep this shard's rows
@@ -1459,7 +1512,8 @@ def render_frame_megakernel(
     else:
         frame_img = result
 
-    gb = 4 + (5 * d_max if bcfg.enable_light_tracing else 0)
+    gb = 4 + ((2 if splat_packed else 5) * d_max
+              if bcfg.enable_light_tracing else 0)
     gbuf = img(gb, N_GBUF_ROWS)
     mat_dif = gbuf[..., 8:12]
     emis3 = gbuf[..., 17:20]

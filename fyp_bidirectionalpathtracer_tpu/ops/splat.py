@@ -198,3 +198,14 @@ def scatter_add_rgba(mode: str, lin, rgb, alpha, n_targets: int,
         return scatter_add_rgba_packed(lin, rgb, alpha, n_targets,
                                        alpha_is_count)
     return MODES[mode](lin, rgb, alpha, n_targets)
+
+
+def scatter_add_rgba_prepacked(lin, packed, n_targets: int,
+                               interpret: bool = False):
+    """rgb8e splat whose payload was packed IN-KERNEL (pallas_frame
+    emits [pix, rgb8e] rows when splat_mode resolves to tiled_rgb8e) —
+    same reduction as mode='tiled_rgb8e', minus the XLA pack passes."""
+    from .splat_tile import scatter_add_rgba_tiled_prepacked
+
+    return scatter_add_rgba_tiled_prepacked(
+        lin, packed, n_targets, interpret=interpret)

@@ -315,6 +315,54 @@ def _flat_reduce(ls, r, g, b, a, n_tiles, sent, vdt, mxu_bf16, interpret):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("n_targets", "interpret", "compact"))
+def scatter_add_rgba_tiled_prepacked(lin, packed, n_targets: int,
+                                     interpret: bool = False,
+                                     compact: str = "auto"):
+    """rgb8e splat over a KERNEL-prepacked payload: lin [U] i32 targets
+    (<0 or >= n_targets dropped), packed [U] i32 rgb8e rows (pallas_frame
+    ._pack_rgb8e_tiles) -> [n_targets, 4] with alpha = update count.
+    Identical reduction to scatter_add_rgba_tiled(pack='rgb8e',
+    mxu_bf16=True) minus the XLA-side pack passes."""
+    u = lin.shape[0]
+    n_tiles = _round_up(max(n_targets, 1), TILE) // TILE
+    sent_i = n_tiles * TILE
+    keys = jnp.where(lin < 0, sent_i, jnp.minimum(lin, sent_i))
+
+    from .compact import K as CK
+    from .compact import compact_live
+
+    do_compact = (compact == "on" or (compact == "auto" and not interpret))
+    cap = _round_up(max(u // 3, CK), CK)
+    if do_compact and cap < u:
+        ck, cp, n_live = compact_live(keys, packed, n_targets, sent_i,
+                                      interpret=interpret)
+
+        def _sort_reduce(kk, pp):
+            ls, p8 = jax.lax.sort([kk, pp], num_keys=1)
+            return _flat_reduce_packed(ls, p8, n_tiles, sent_i, True,
+                                       interpret)
+
+        caps = sorted({_round_up(max(u // 6, CK), CK), cap})
+
+        def ladder(rungs):
+            if not rungs:
+                return _sort_reduce(ck, cp)
+            c0 = rungs[0]
+            return jax.lax.cond(
+                n_live <= c0,
+                lambda: _sort_reduce(ck[:c0], cp[:c0]),
+                lambda: ladder(rungs[1:]),
+            )
+
+        out = ladder(caps)
+    else:
+        ls, p8 = jax.lax.sort([keys, packed], num_keys=1)
+        out = _flat_reduce_packed(ls, p8, n_tiles, sent_i, True, interpret)
+    return out[:4, :n_targets].T
+
+
+@functools.partial(
     jax.jit, static_argnames=("n_targets", "alpha_is_count", "interpret",
                               "pack", "mxu_bf16", "sort_only", "segments",
                               "compact")

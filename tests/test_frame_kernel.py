@@ -78,9 +78,13 @@ def test_megakernel_matches_wavefront_default(cornell):
         BDPTConfig(reference_quirks=False),
         BDPTConfig(connection_weight="power"),
         BDPTConfig(connection_weight="balance", reference_quirks=False),
+        # kernel-side rgb8e splat packing + prepacked compacted reduction
+        # (the TPU production splat path, forced on under interpret)
+        BDPTConfig(splat_mode="tiled_rgb8e"),
     ],
     ids=["e1-only", "no-e3", "no-e2", "depth2", "lambertian",
-         "faithful-rng", "no-quirks", "power-mis", "balance-mis"],
+         "faithful-rng", "no-quirks", "power-mis", "balance-mis",
+         "rgb8e-packed-splat"],
 )
 @pytest.mark.slow
 def test_megakernel_matches_wavefront_variants(cornell, bcfg):

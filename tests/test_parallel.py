@@ -274,13 +274,18 @@ def test_bmfr_sharded_bf16_matches_single_bf16(n_dev):
         cam = types.SimpleNamespace(prev_view_proj=pvp)
         state_ref, out_ref = bmfr.bmfr_pass(state_ref, channels, cam, cfg)
         state_sh, out_sh = step(state_sh, channels, pvp)
+        # atol 1e-3, not 1e-5: shard_map and single-program XLA fuse the
+        # pack/unpack + feature math differently, and a ULP of feature
+        # difference through the regression's min/max normalization can
+        # amplify to ~6e-5 on isolated pixels (measured; a real halo bug
+        # shows up as O(0.1) over whole rows)
         np.testing.assert_allclose(
-            np.asarray(out_ref), np.asarray(out_sh), atol=1e-5,
+            np.asarray(out_ref), np.asarray(out_sh), atol=1e-3,
             err_msg=f"frame {frame}",
         )
     np.testing.assert_allclose(
         np.asarray(state_ref.prev_filtered),
-        np.asarray(state_sh.prev_filtered), atol=1e-5,
+        np.asarray(state_sh.prev_filtered), atol=1e-3,
     )
 
 
