@@ -27,12 +27,11 @@ import jax.numpy as jnp
 W, H, DEPTH = 1280, 720, 3
 
 
-def _time(fn, step, warmup=3, iters=15):
+def _time(step, warmup=3, iters=15):
     out = None
     for i in range(warmup):
         out = step(i)
-    jax.tree_util.tree_map(lambda x: None, out)
-    float(jnp.asarray(out[0]).reshape(-1)[0])
+    float(jnp.asarray(out[0]).reshape(-1)[0])  # honest device sync
     t0 = time.perf_counter()
     for i in range(warmup, warmup + iters):
         out = step(i)
@@ -89,7 +88,7 @@ def main():
         out, *_ = pf._frame_out(baked, W, H, frame, jitter, cfg0)
         return (out,)
 
-    ms = _time(None, lambda i: raw_step(jnp.uint32(BDPT_FRAME_INIT + i)))
+    ms = _time(lambda i: raw_step(jnp.uint32(BDPT_FRAME_INIT + i)))
     print(json.dumps({"variant": "raw_kernel_out", "ms": round(ms, 2)}),
           flush=True)
 
@@ -112,7 +111,7 @@ def main():
             state["accum"], state["bmfr"] = accum, bmfr
             return (ch["PipelineOutput"],)
 
-        ms = _time(None, step)
+        ms = _time(step)
         print(json.dumps({"variant": f"frame[{mode}]", "ms": round(ms, 2)}),
               flush=True)
 

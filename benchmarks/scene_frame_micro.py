@@ -24,7 +24,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
                sort_bounces: bool | None = None,
                const_scene: bool = False,
                bounce_tex_mean: bool = False,
-               parallel_subpaths: bool = False) -> dict:
+               parallel_subpaths: bool = False,
+               merge_shadow_batches: bool = False) -> dict:
     from fyp_bidirectionalpathtracer_tpu.pipeline.app import load_scene
     from fyp_bidirectionalpathtracer_tpu.pipeline.renderer import (
         BDPT_FRAME_INIT,
@@ -41,6 +42,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
         overrides["bounce_tex_mean"] = True
     if parallel_subpaths:
         overrides["parallel_subpaths"] = True
+    if merge_shadow_batches:
+        overrides["merge_shadow_batches"] = True
     cfg = RenderConfig(width=width, height=height,
                        bdpt=BDPTConfig(max_depth=depth, **overrides))
     scene = load_scene(name)
@@ -82,7 +85,8 @@ def time_scene(name: str, width: int, height: int, depth: int,
             "tris": tris, "resolution": f"{width}x{height}", "depth": depth,
             "sort_bounces": sort_bounces, "const_scene": const_scene,
             "bounce_tex_mean": bounce_tex_mean,
-            "parallel_subpaths": parallel_subpaths}
+            "parallel_subpaths": parallel_subpaths,
+            "merge_shadow_batches": merge_shadow_batches}
 
 
 def main():
@@ -95,6 +99,7 @@ def main():
     p.add_argument("--const-scene", action="store_true")
     p.add_argument("--bounce-mean", action="store_true")
     p.add_argument("--parallel-subpaths", action="store_true")
+    p.add_argument("--merge-shadows", action="store_true")
     args = p.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     for name in args.scenes or ["textured"]:
@@ -102,7 +107,8 @@ def main():
                                     sort_bounces=args.sort_bounces,
                                     const_scene=args.const_scene,
                                     bounce_tex_mean=args.bounce_mean,
-                                    parallel_subpaths=args.parallel_subpaths)),
+                                    parallel_subpaths=args.parallel_subpaths,
+                                    merge_shadow_batches=args.merge_shadows)),
               flush=True)
 
 

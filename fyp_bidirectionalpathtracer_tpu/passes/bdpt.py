@@ -524,9 +524,40 @@ def bdpt_pass(
 
     # Three separate direction-sorted batches, one per estimator family: a
     # single merged 9-stack query measured WORSE (811 vs 781 ms/frame on
-    # pink_room) — mixing the populations spreads per-cell origin bounds
-    # and lengthens every cell's exact cluster shortlist.
-    if n_e1:
+    # pink_room, round 3, pre-premask) — mixing the populations spreads
+    # per-cell origin bounds and lengthens every cell's exact cluster
+    # shortlist.  cfg.merge_shadow_batches retests the merge under the
+    # current premasked tree (round-5 number in BASELINE.md).
+    if (cfg.merge_shadow_batches and not cfg.reverse_shadows
+            and (n_e1 or e3_pairs or n_e2)):
+        o_parts, d_parts, t_parts = [], [], []
+        if n_e1:
+            o_parts.append(jnp.stack(
+                [camera_path[i + 1].pos for i in range(n_e1)]))
+            d_parts.append(jnp.stack([p[0] for p in e1_picks]))
+            t_parts.append(jnp.stack([p[2] for p in e1_picks]))
+        if e3_pairs:
+            o_parts.append(jnp.stack(
+                [camera_path[s].pos for _, s, _ in e3_pairs]))
+            d_parts.append(jnp.stack([g[0] for g in e3_geom]))
+            t_parts.append(jnp.stack([g[1] for g in e3_geom]) - cfg.min_t)
+        if n_e2:
+            o_parts.append(jnp.stack(
+                [light_path[i + 1].pos for i in range(n_e2)]))
+            d_parts.append(jnp.stack([g[0] for g in e2_geom]))
+            t_parts.append(jnp.stack([g[1] for g in e2_geom]))
+        vis_all = shadow_fn(
+            jnp.concatenate(o_parts), jnp.concatenate(d_parts), cfg.min_t,
+            jnp.concatenate(t_parts), coherent=False,
+        )
+        k3 = len(e3_pairs)
+        vis_b = vis_all[:n_e1]
+        e3_vis = vis_all[n_e1:n_e1 + k3]
+        e2_vis = vis_all[n_e1 + k3:]
+        _merged_vis = True
+    else:
+        _merged_vis = False
+    if n_e1 and not _merged_vis:
         o1 = jnp.stack([camera_path[i + 1].pos for i in range(n_e1)])
         l1 = jnp.stack([p[0] for p in e1_picks])
         d1 = jnp.stack([p[2] for p in e1_picks])
@@ -546,7 +577,7 @@ def bdpt_pass(
             vis_b = shadow_fn(
                 o1, l1, cfg.min_t, d1, coherent=not cfg.sort_shadows,
             )
-    if e3_pairs:
+    if e3_pairs and not _merged_vis:
         # the reference's TMax is exactly lengthAB (BDPTMain.rt.hlsl:218-223)
         # with the far endpoint ON the connected surface, so accepting a hit
         # at t ~= TMax is an FP coin flip on DXR too; counting endpoint
@@ -559,7 +590,7 @@ def bdpt_pass(
             jnp.stack([g[1] for g in e3_geom]) - cfg.min_t,
             coherent=False,
         )
-    if n_e2:
+    if n_e2 and not _merged_vis:
         d2 = jnp.stack([g[0] for g in e2_geom])
         dis2 = jnp.stack([g[1] for g in e2_geom])
         if cfg.reverse_shadows:

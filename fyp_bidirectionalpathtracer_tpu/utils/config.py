@@ -145,6 +145,16 @@ class BDPTConfig:
     # baseline (PARITY.md); flip on for production throughput on divergent
     # -heavy scenes (pink_room, measured round 5 in BASELINE.md).
     parallel_subpaths: bool = False
+    # Fire ALL estimator visibility queries (est-1 NEE + est-3 connections
+    # + est-2 camera splats) as ONE direction-sorted any-hit batch instead
+    # of three per-family batches.  Output-identical (visibility rays are
+    # independent; same rays, same intervals).  Round 3 measured the merge
+    # WORSE pre-premask (811 vs 781 ms pink_room: mixed populations spread
+    # per-cell origin bounds); this flag retests it under the premasked
+    # round-5 tree — see BASELINE.md for the current number.  Only applies
+    # with reverse_shadows=False (the reversed orientations change per
+    # -family origins).
+    merge_shadow_batches: bool = False
     # --- timing-attribution stubs (NEVER for rendering; both break the
     # image).  debug_stub_shadows short-circuits every estimator visibility
     # query to "visible"; debug_stub_extensions skips the subpath extension

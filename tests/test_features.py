@@ -106,6 +106,22 @@ def test_parallel_subpaths_statistically_equivalent():
         assert abs(a[sl].mean() - b[sl].mean()) < 0.03
 
 
+def test_merge_shadow_batches_output_identical():
+    """merge_shadow_batches fires the same visibility rays with the same
+    intervals in one batch — the frame must be identical (visibility is
+    per-ray independent; only the batching changes)."""
+    baked = Scene.from_built(cornell_box(), aspect=1.0).bake()
+    outs = {}
+    for merge in (False, True):
+        cfg = RenderConfig(
+            width=SIZE, height=SIZE,
+            bdpt=BDPTConfig(megakernel="off", merge_shadow_batches=merge),
+        )
+        r = Renderer(baked, cfg)
+        outs[merge] = np.asarray(r.render(2))
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
 def test_animated_camera_path_render():
     import os
 
