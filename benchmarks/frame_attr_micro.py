@@ -9,9 +9,10 @@ Variants (all the SAME render_frame_fn jit as bench.py, honest sync):
   raw       — _frame_out only: megakernel pallas_call + out materialization
               (everything bench-side minus splat minus channel/accum glue)
 
-Dead fraction: est-2 updates whose gate (pre_ok & vis) failed still ride
-the sort as sentinel-key rows (passes/bdpt.py:585 / pallas_frame splat
-rows).  Reads the megakernel's ok rows directly.
+Dead fraction: est-2 updates whose gate (pre_ok & vis) failed carry the
+sentinel pixel id (passes/bdpt.py / pallas_frame splat rows); counted
+from the megakernel's pix rows (live = pix < n_pix) in either the 5-row
+or the packed 2-row splat layout.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/frame_attr_micro.py
 """
