@@ -79,23 +79,26 @@ def cell_rows() -> int:
 
 
 def pick_ck(n_tris: int) -> int:
-    """VMEM-tier cluster stride: the smallest multiple of 8 (>= 64) that
+    """VMEM-tier cluster stride: the smallest multiple of 8 (>= 48) that
     keeps the cluster count <= 512.  FYP_CK overrides for experiments.
 
     Measured on v5e (benchmarks/pink_micro.py, pink_room 10.5k tris):
     ck=64 gives 38.9 ms/1M coherent closest rays vs ~77 ms at ck=256 —
     finer AABB culling granularity dominates the extra scalar cluster
     branches; going the other way, ck=512 doubles closest time at 63k tris
-    (benchmarks/cluster_micro.py).  The cap at 512 clusters bounds the SMEM
-    AABB table (16 KB) and the per-cell visit-order row.  The HBM-paged
-    tier keeps CK=256: it is DMA-latency bound and smaller slices mean
-    proportionally more round-trips."""
+    (benchmarks/cluster_micro.py).  Round-5 whole-frame sweep refined the
+    floor: ck=48 664.7/664.7 vs ck=64 676.5/677.2 vs ck=96 706.5 ms on
+    the pink_room frame (two confirm runs each; ck=32 remains a wash from
+    round 3 — the sweet spot is 6-row pair tiles).  The cap at 512
+    clusters bounds the SMEM AABB table (16 KB) and the per-cell
+    visit-order row.  The HBM-paged tier keeps CK=256: it is DMA-latency
+    bound and smaller slices mean proportionally more round-trips."""
     import os
 
     env = os.environ.get("FYP_CK")
     if env:
         return max(8, _round_up(int(env), 8))
-    return max(64, _round_up(-(-n_tris // 512), 8))
+    return max(48, _round_up(-(-n_tris // 512), 8))
 
 
 # ------------------------------------------------------------------- host
